@@ -1,0 +1,129 @@
+"""Category / pipeline configuration as plain dataclasses (pytree-friendly constants).
+
+Replaces the reference's Hydra config tree (reference: config/config.yaml:1-22,
+config/category/*.yaml) with typed Python. Category knowledge — NOCS id, canonical
+axes, rotational symmetry — lives here and nowhere else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CategoryConfig:
+    """Static per-category configuration.
+
+    Mirrors the information content of the reference's hydra config
+    (config/config.yaml + config/category/<name>.yaml) but as a frozen dataclass
+    used as a *static* argument to jitted functions.
+    """
+
+    name: str
+    category_id: int                  # NOCS class id, 1..6
+    res: float = 2e-3                 # voxel resolution in meters (config/config.yaml:1)
+    up: Tuple[int, int, int] = (0, 1, 0)      # canonical up axis (config/config.yaml:11)
+    right: Tuple[int, int, int] = (1, 0, 0)   # canonical right axis (config/config.yaml:12)
+    front: Tuple[int, int, int] = (0, 0, 1)   # canonical front axis (config/config.yaml:13)
+    num_more: int = 3                 # extra tuple points beyond the pair (config/config.yaml:14)
+    up_sym: bool = False              # continuous rotational symmetry about `up`
+    # metric scale range sampled during synthetic data generation
+    # (reference: dataset.py:165-172 `shapenet_obj_scales`)
+    scale_range: Tuple[float, float] = (0.1, 0.3)
+
+    @property
+    def tuple_size(self) -> int:
+        return self.num_more + 2
+
+    @property
+    def num_pairs_in_tuple(self) -> int:
+        k = self.tuple_size
+        return k * (k - 1) // 2
+
+    @property
+    def up_axis_index(self) -> int:
+        return int(max(range(3), key=lambda i: abs(self.up[i])))
+
+    @property
+    def right_axis_index(self) -> int:
+        return int(max(range(3), key=lambda i: abs(self.right[i])))
+
+
+# NOCS REAL275 category registry (reference: dataset.py:29-37 for ids;
+# config/category/*.yaml for axes/symmetry; dataset.py:165-172 for scale ranges).
+CATEGORIES: Dict[str, CategoryConfig] = {
+    "bottle": CategoryConfig("bottle", 1, up_sym=True, scale_range=(0.16, 0.25)),
+    "bowl": CategoryConfig("bowl", 2, up_sym=True, scale_range=(0.1851, 0.26)),
+    "camera": CategoryConfig(
+        "camera", 3, front=(1, 0, 0), right=(0, 0, 1), scale_range=(0.1430, 0.28)
+    ),
+    "can": CategoryConfig("can", 4, up_sym=True, scale_range=(0.128, 0.18)),
+    "laptop": CategoryConfig("laptop", 5, scale_range=(0.3862, 0.58)),
+    "mug": CategoryConfig(
+        "mug", 6, front=(1, 0, 0), right=(0, 0, 1), scale_range=(0.1501, 0.1995)
+    ),
+}
+
+ID2CATEGORY: Dict[int, str] = {c.category_id: n for n, c in CATEGORIES.items()}
+CATEGORY2ID: Dict[str, int] = {n: c.category_id for n, c in CATEGORIES.items()}
+
+# NOCS synset names with background, indexed by class id (reference: eval.py:400-407).
+SYNSET_NAMES = ["BG", "bottle", "bowl", "camera", "can", "laptop", "mug"]
+
+
+def get_category(name_or_id) -> CategoryConfig:
+    if isinstance(name_or_id, int):
+        return CATEGORIES[ID2CATEGORY[name_or_id]]
+    return CATEGORIES[name_or_id]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static shape/budget configuration for the jitted inference graph.
+
+    The reference uses dynamic shapes (downsampled cloud size, masked pairs);
+    TPU requires static ones. `n_points` / `num_pairs` are padded budgets with
+    validity masks.
+    """
+
+    n_points: int = 8192          # padded point budget after voxel downsampling
+    num_pairs: int = 50000        # tuple budget (reference: eval.py:58 num_pairs=50000)
+    num_rots: int = 180           # sweep angles per pair (reference: eval.py:59)
+    num_bins: int = 32            # canonical coordinate bins (reference: train_shot.py:67 64*3 -> (6,32))
+    angle_tol_deg: float = 1.0    # sphere accumulator tolerance (reference: eval.py:55)
+    backproj_ratio: float = 0.1   # kept fraction after backvoting (reference: eval.py:57)
+    imp_wt_margin: float = 0.01   # importance weight margin (reference: eval.py:56)
+    coarse_grid: int = 64         # coarse Hough grid resolution per axis
+    fine_grid: int = 64           # fine Hough grid resolution per axis (at cfg.res)
+    opt_steps: int = 100          # alignment optimizer iterations (reference: eval.py:327)
+    opt_lr: float = 1e-2          # alignment Adam lr (reference: eval.py:325)
+    neighbor_k: int = 64          # fixed neighbor budget for normals/SHOT
+    shot_neighbor_k: int = 96     # fixed neighbor budget for the SHOT descriptor
+
+    @property
+    def num_kept_pairs(self) -> int:
+        return int(self.num_pairs * self.backproj_ratio)
+
+    @property
+    def sphere_samples(self) -> int:
+        import math
+
+        return int(4 * math.pi / (self.angle_tol_deg / 180.0 * math.pi))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: train_shot.py:124-130, 141; config/config.yaml)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    lr_step_epochs: int = 25
+    lr_gamma: float = 0.5
+    max_epochs: int = 101
+    tuples_per_step: int = 10000   # reference: train_shot.py:88
+    steps_per_epoch: int = 200     # reference: dataset.py:364 virtual epoch length
+    batch_size: int = 1            # frames per device per step
+    n_points: int = 1024           # padded per-frame point budget for training
+    num_bins: int = 32
+    seed: int = 0
