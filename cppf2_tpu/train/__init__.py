@@ -1,0 +1,15 @@
+from cppf2_tpu.train.loop import (
+    TrainState,
+    create_train_state,
+    train_step,
+    tuple_loss,
+    make_lr_schedule,
+)
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "train_step",
+    "tuple_loss",
+    "make_lr_schedule",
+]
