@@ -1,0 +1,292 @@
+"""Hough voting kernels: center grid, rotation axes, sphere accumulator, backvoting.
+
+TPU-native re-design of the reference's vote pipeline:
+  * `vote_center` (train_dino.py:171-215): the reference allocates a dynamic
+    (extent/res) grid per instance; we vote twice into *fixed* 64^3 grids — a
+    coarse pass at per-axis adaptive resolution over the cloud AABB, then a fine
+    pass at exactly `res` in a window centered on the coarse peak — recovering
+    the reference's 2 mm quantization with fully static shapes.
+  * `vote_rotation` (train_dino.py:218-239): candidate axis directions as pure
+    tensor math (no boolean filtering — degenerate pairs carry a weight of 0).
+  * `sphere_vote` (eval.py:37-51 get_topk_dir): vote counting as two matmuls on
+    the MXU — thresholded cosine matrix times reciprocal importance weights.
+  * `backvote_filter` (eval.py:252-275): the reference's percentile threshold
+    keeps exactly ratio*N pairs; we use top-k of negative error, which is the
+    same set with a static shape, and produces a weight/mask rather than a
+    gather.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-7
+
+
+def _pair_frames(a: jax.Array, b: jax.Array):
+    """Unit pair direction and an orthonormal basis (x0, y0) of its normal plane.
+
+    Reference: train_dino.py:185-192 — co = [0, -ab_z, ab_y], with the fallback
+    [-ab_y, ab_x, 0] when ab is x-aligned; y = cross(x, ab).
+    """
+    ab = a - b
+    ab_norm = jnp.linalg.norm(ab, axis=-1, keepdims=True)
+    abu = ab / jnp.maximum(ab_norm, _EPS)
+    co = jnp.stack([jnp.zeros_like(abu[..., 0]), -abu[..., 2], abu[..., 1]], axis=-1)
+    co_bad = jnp.linalg.norm(co, axis=-1, keepdims=True) < _EPS
+    co_alt = jnp.stack([-abu[..., 1], abu[..., 0], jnp.zeros_like(abu[..., 0])], axis=-1)
+    co = jnp.where(co_bad, co_alt, co)
+    x0 = co / jnp.maximum(jnp.linalg.norm(co, axis=-1, keepdims=True), _EPS)
+    y0 = jnp.cross(x0, abu)
+    return abu, ab_norm[..., 0], x0, y0
+
+
+class CenterVote(NamedTuple):
+    center: jax.Array       # (3,) estimated translation
+    peak_count: jax.Array   # () vote count at the winning fine cell
+
+
+def _hist_argmax_sorted(flat_ids: jax.Array, valid: jax.Array, num_bins: int):
+    """Mode of integer ids via sort + run-length scan — no scatter.
+
+    TPU scatter-add serializes heavily (~145M updates/s measured on v5e);
+    sort + associative scans are parallel-friendly (~bandwidth-bound). Invalid
+    ids are parked on a sentinel that sorts last and is excluded from argmax.
+
+    Returns (best_id, count_at_best).
+    """
+    sentinel = jnp.int32(num_bins)
+    ids = jnp.where(valid, flat_ids, sentinel)
+    s = jnp.sort(ids)
+    pos = jnp.arange(s.shape[0], dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(start, pos, -1))
+    run_len = pos - run_start + 1
+    run_len = jnp.where(s == sentinel, 0, run_len)
+    best = jnp.argmax(run_len)
+    return s[best], run_len[best]
+
+
+def vote_center(
+    points: jax.Array,        # (N, 3) padded cloud
+    point_valid: jax.Array,   # (N,) bool
+    tr_preds: jax.Array,      # (P, 2) predicted (proj_len, odist) per pair
+    pair_idx: jax.Array,      # (P, 2) int indices of pair endpoints
+    pair_valid: jax.Array,    # (P,) bool
+    res: float,
+    num_rots: int = 180,      # kept for API parity; used as coarse-stage cap
+    grid: int = 64,
+    coarse_pairs: int = 8192,
+    coarse_rots: int = 36,
+    fine_samples: int = 32,
+) -> CenterVote:
+    """Two-stage Hough vote for the object center.
+
+    Each pair votes for a circle of candidate centers: foot point
+    c = a - u * proj_len, circle radius odist in the plane orthogonal to the
+    pair direction (train_dino.py:186-197). Degenerate pairs (|ab| ~ 0 or
+    odist <= res) are masked, matching train_dino.py:182.
+
+    TPU re-design vs the reference's uniform `num_rots`-angle sweep into a
+    dynamic grid:
+      1. coarse stage — a pair subsample sweeps `coarse_rots` uniform angles
+         into a fixed `grid`^3 histogram at per-axis adaptive resolution over
+         the cloud AABB, locating the peak region;
+      2. fine stage — *every* pair samples `fine_samples` angles along the arc
+         of its circle nearest the coarse peak (span ~ window/odist, i.e.
+         uniform arc-length density across pairs), voting into a `grid`^3
+         histogram at exactly `res` centered on the peak.
+    Both histograms use sort-based mode finding (no scatter). The fine result
+    carries the reference's 2 mm quantization with ~8x fewer votes than a
+    50k x 180 sweep.
+    """
+    del num_rots
+    a = points[pair_idx[:, 0]]
+    b = points[pair_idx[:, 1]]
+    abu, ab_len, x0, y0 = _pair_frames(a, b)
+    proj_len = tr_preds[:, 0]
+    odist = tr_preds[:, 1]
+    ok = pair_valid & (ab_len > _EPS) & (odist > res)
+    c = a - abu * proj_len[:, None]
+
+    big = jnp.asarray(1e9, points.dtype)
+    pts_lo = jnp.min(jnp.where(point_valid[:, None], points, big), axis=0)
+    pts_hi = jnp.max(jnp.where(point_valid[:, None], points, -big), axis=0)
+
+    def quantize(cand, ok_mask, lo, cell):
+        ids3 = jnp.floor((cand - lo) / cell + 0.5).astype(jnp.int32)
+        inside = jnp.all(ids3 >= 0, -1) & jnp.all(ids3 < grid, -1) & ok_mask
+        ids3c = jnp.clip(ids3, 0, grid - 1)
+        flat = (ids3c[:, 0] * grid + ids3c[:, 1]) * grid + ids3c[:, 2]
+        return flat, inside
+
+    def unflatten(best, lo, cell):
+        bz = best % grid
+        by = (best // grid) % grid
+        bx = best // (grid * grid)
+        return lo + jnp.stack([bx, by, bz]).astype(points.dtype) * cell
+
+    # ---- Stage 1: coarse localization from a pair subsample.
+    n_sub = min(coarse_pairs, c.shape[0])
+    angles = jnp.arange(coarse_rots, dtype=points.dtype) / coarse_rots * 2 * jnp.pi
+    cosv, sinv = jnp.cos(angles), jnp.sin(angles)
+    offs = (
+        cosv[None, :, None] * x0[:n_sub, None, :]
+        + sinv[None, :, None] * y0[:n_sub, None, :]
+    ) * odist[:n_sub, None, None]
+    cand_c = (c[:n_sub, None, :] + offs).reshape(-1, 3)
+    ok_c = jnp.broadcast_to(ok[:n_sub, None], (n_sub, coarse_rots)).reshape(-1)
+
+    coarse_cell = jnp.maximum((pts_hi - pts_lo) / (grid - 1), res)
+    flat_c, in_c = quantize(cand_c, ok_c, pts_lo, coarse_cell)
+    best_c, _ = _hist_argmax_sorted(flat_c, in_c, grid * grid * grid)
+    peak_c = unflatten(best_c, pts_lo, coarse_cell)
+
+    # ---- Stage 2: fine vote along the arc nearest the coarse peak.
+    window_half = (grid / 2) * res
+    rel = peak_c[None, :] - c
+    u = jnp.sum(rel * x0, axis=-1)
+    v = jnp.sum(rel * y0, axis=-1)
+    theta_star = jnp.arctan2(v, u)
+    span = jnp.clip(1.2 * window_half / jnp.maximum(odist, _EPS), 0.0, jnp.pi)
+    ts = jnp.linspace(-1.0, 1.0, fine_samples, dtype=points.dtype)
+    theta = theta_star[:, None] + ts[None, :] * span[:, None]
+    offs_f = (
+        jnp.cos(theta)[..., None] * x0[:, None, :]
+        + jnp.sin(theta)[..., None] * y0[:, None, :]
+    ) * odist[:, None, None]
+    cand_f = (c[:, None, :] + offs_f).reshape(-1, 3)
+    ok_f = jnp.broadcast_to(ok[:, None], (ok.shape[0], fine_samples)).reshape(-1)
+
+    fine_cell = jnp.full((3,), res, points.dtype)
+    fine_lo = peak_c - window_half
+    flat_f, in_f = quantize(cand_f, ok_f, fine_lo, fine_cell)
+    best_f, count = _hist_argmax_sorted(flat_f, in_f, grid * grid * grid)
+    center = unflatten(best_f, fine_lo, fine_cell)
+    return CenterVote(center, count)
+
+
+def vote_rotation(
+    points: jax.Array,
+    angle_preds: jax.Array,   # (P,) predicted angle of pair direction vs the axis
+    pair_idx: jax.Array,      # (P, 2)
+    pair_valid: jax.Array,    # (P,)
+    num_rots: int = 180,
+) -> Tuple[jax.Array, jax.Array]:
+    """Candidate axis directions per pair and sweep angle.
+
+    From the predicted angle alpha between the (unit) pair direction and the
+    unknown axis, every direction on the cone of half-angle alpha around the
+    pair direction is a candidate; sweep its circle (train_dino.py:218-239):
+    up = tan(alpha) * offset + sign(tan(alpha)) * ab_unit, normalized.
+
+    Returns:
+        dirs: (P * num_rots, 3) unit candidates.
+        w_valid: (P * num_rots,) bool validity.
+    """
+    a = points[pair_idx[:, 0]]
+    b = points[pair_idx[:, 1]]
+    abu, ab_len, x0, y0 = _pair_frames(a, b)
+    ok = pair_valid & (ab_len > _EPS)
+
+    angles = jnp.arange(num_rots, dtype=points.dtype) / num_rots * 2 * jnp.pi
+    cosv, sinv = jnp.cos(angles), jnp.sin(angles)
+    offset = cosv[None, :, None] * x0[:, None, :] + sinv[None, :, None] * y0[:, None, :]
+    tan = jnp.tan(angle_preds)
+    sign = jnp.where(tan > 0, 1.0, -1.0).astype(points.dtype)
+    up = tan[:, None, None] * offset + sign[:, None, None] * abu[:, None, :]
+    up = up / jnp.maximum(jnp.linalg.norm(up, axis=-1, keepdims=True), _EPS)
+    w = jnp.broadcast_to(ok[:, None], (ok.shape[0], num_rots))
+    return up.reshape(-1, 3), w.reshape(-1)
+
+
+def sphere_vote(
+    dirs: jax.Array,          # (V, 3) candidate directions
+    weights: jax.Array,       # (V,) per-vote weight (0 for invalid)
+    sphere_pts: jax.Array,    # (S, 3) accumulator directions (fibonacci sphere)
+    angle_tol_deg: float,
+    topk: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Spherical accumulator as a thresholded-cosine matmul (eval.py:37-51).
+
+    counts[s] = sum_v weights[v] * [dirs_v . sphere_s > cos(2 * tol)].
+
+    The reference chunks a dense matmul at bmm_size=100000 (eval.py:43-45); XLA
+    tiles the single matmul for us. Weights fold the reference's 1/wt
+    importance normalization.
+    """
+    thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
+    v = dirs.shape[0]
+    chunk = min(v, 131072)
+    num_chunks = -(-v // chunk)
+    pad = num_chunks * chunk - v
+    dirs_p = jnp.pad(dirs, ((0, pad), (0, 0))).reshape(num_chunks, chunk, 3)
+    w_p = jnp.pad(weights.astype(jnp.float32), (0, pad)).reshape(num_chunks, chunk)
+
+    def body(acc, dw):
+        d, w = dw
+        cos = jax.lax.dot_general(
+            d, sphere_pts, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hits = (cos > thresh).astype(jnp.float32)
+        part = jax.lax.dot_general(
+            w[None, :], hits, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        return acc + part, None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((sphere_pts.shape[0],), jnp.float32), (dirs_p, w_p))
+    vals, idx = jax.lax.top_k(counts, topk)
+    return sphere_pts[idx], vals
+
+
+class BackvoteResult(NamedTuple):
+    keep: jax.Array          # (P,) bool — pairs kept by the noisy-pair filter
+    pair_weight: jax.Array   # (P,) importance weight of kept pairs (0 if dropped)
+    kept_idx: jax.Array      # (keep_count,) static-shape indices of kept pairs —
+                             # use to gather a compact pair set for rotation voting
+
+
+def backvote_filter(
+    points: jax.Array,
+    tr_preds: jax.Array,      # (P, 2) predicted (proj_len, odist)
+    pair_idx: jax.Array,      # (P, 2)
+    pair_valid: jax.Array,
+    center: jax.Array,        # (3,) voted center
+    keep_count: int,
+    imp_wt_margin: float = 0.01,
+) -> BackvoteResult:
+    """Noisy-pair filtering + per-point vote-importance weights (eval.py:252-275).
+
+    Recompute the (proj_len, odist) targets for the *observed* pairs w.r.t. the
+    voted center; keep the `keep_count` pairs with smallest prediction-vs-
+    geometry error. Each point's usage count over kept pairs becomes an
+    importance weight; a pair's weight is the sum of its endpoints' normalized
+    counts plus a margin (down-weighting over-voting points in sphere_vote).
+    """
+    a = points[pair_idx[:, 0]]
+    b = points[pair_idx[:, 1]]
+    abu, _, _, _ = _pair_frames(a, b)
+    rel = a - center
+    proj_len = jnp.sum(rel * abu, axis=-1)
+    oc = rel - proj_len[:, None] * abu
+    odist = jnp.linalg.norm(oc, axis=-1)
+    back = jnp.stack([proj_len, odist], axis=-1)
+    err = jnp.linalg.norm(tr_preds - back, axis=-1)
+    err = jnp.where(pair_valid, err, jnp.inf)
+
+    neg_topk, top_idx = jax.lax.top_k(-err, keep_count)
+    keep = jnp.zeros(err.shape, bool).at[top_idx].set(jnp.isfinite(neg_topk))
+
+    flat_idx = pair_idx.reshape(-1)
+    flat_keep = jnp.repeat(keep, 2)
+    counts = jnp.zeros((points.shape[0],), jnp.float32).at[flat_idx].add(
+        flat_keep.astype(jnp.float32)
+    )
+    counts = counts / jnp.maximum(jnp.max(counts), 1.0)
+    pair_wt = counts[pair_idx[:, 0]] + counts[pair_idx[:, 1]] + imp_wt_margin
+    return BackvoteResult(keep, jnp.where(keep, pair_wt, 0.0), top_idx.astype(jnp.int32))
