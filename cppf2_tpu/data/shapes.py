@@ -1,0 +1,227 @@
+"""Procedural category meshes + surface sampling + minimal OBJ loading.
+
+The reference's data generator streams ShapeNetCore.v2 meshes through trimesh +
+pyrender (dataset.py:202-255). Neither those assets nor those libraries exist
+in this environment, so the framework ships two mesh sources:
+
+  * `load_obj` — a dependency-free Wavefront OBJ loader for real ShapeNet data
+    when mounted (same `model_normalized.obj` layout, dataset.py:212);
+  * `make_category_mesh` — procedural parametric meshes per NOCS category
+    (revolution solids, boxes, handles) in the NOCS canonical frame (y up,
+    bbox max extent == 1), randomized per draw, so the full train/eval loop is
+    exercisable without external assets.
+
+All meshes are plain (vertices (V, 3) float32, faces (F, 3) int32) triangle
+soups; `sample_surface` converts them to area-weighted surface point samples
+with face normals for the splat renderer.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+Mesh = Tuple[np.ndarray, np.ndarray]  # (vertices, faces)
+
+
+# ---------------------------------------------------------------------------
+# OBJ loading (reference analog: trimesh.load at dataset.py:213)
+# ---------------------------------------------------------------------------
+
+def load_obj(path: str) -> Mesh:
+    """Minimal Wavefront OBJ reader: v / f records, fan-triangulates polygons."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(w.split("/")[0]) for w in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32).reshape(-1, 3),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Procedural meshes
+# ---------------------------------------------------------------------------
+
+def _revolve(profile_r: np.ndarray, profile_y: np.ndarray, segments: int = 48) -> Mesh:
+    """Revolve a (r(y), y) profile around the y axis into a triangle mesh."""
+    n = len(profile_r)
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    cs, sn = np.cos(ang), np.sin(ang)
+    verts = np.stack(
+        [
+            (profile_r[:, None] * cs[None, :]).ravel(),
+            np.repeat(profile_y, segments),
+            (profile_r[:, None] * sn[None, :]).ravel(),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(segments):
+            j2 = (j + 1) % segments
+            a, b = i * segments + j, i * segments + j2
+            c, d = (i + 1) * segments + j, (i + 1) * segments + j2
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    return verts, np.asarray(faces, np.int32)
+
+
+def _box(extents, center=(0.0, 0.0, 0.0)) -> Mesh:
+    ex, ey, ez = np.asarray(extents) / 2.0
+    cx, cy, cz = center
+    v = np.array(
+        [
+            [cx - ex, cy - ey, cz - ez], [cx + ex, cy - ey, cz - ez],
+            [cx + ex, cy + ey, cz - ez], [cx - ex, cy + ey, cz - ez],
+            [cx - ex, cy - ey, cz + ez], [cx + ex, cy - ey, cz + ez],
+            [cx + ex, cy + ey, cz + ez], [cx - ex, cy + ey, cz + ez],
+        ],
+        np.float32,
+    )
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+            [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+            [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+        ],
+        np.int32,
+    )
+    return v, f
+
+
+def _merge(*meshes: Mesh) -> Mesh:
+    vs, fs, off = [], [], 0
+    for v, f in meshes:
+        vs.append(v)
+        fs.append(f + off)
+        off += len(v)
+    return np.concatenate(vs), np.concatenate(fs)
+
+
+def _torus(r_major, r_minor, center, axis="x", seg=24, tube=12) -> Mesh:
+    u = np.linspace(0, np.pi, seg)  # half torus (handle)
+    v = np.linspace(0, 2 * np.pi, tube, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    ring_x = (r_major + r_minor * np.cos(vv)) * np.cos(uu)
+    ring_y = (r_major + r_minor * np.cos(vv)) * np.sin(uu)
+    ring_z = r_minor * np.sin(vv)
+    pts = np.stack([ring_x, ring_y, ring_z], -1)  # (seg, tube, 3)
+    if axis == "x":  # handle in the x-y plane
+        pts = pts[..., [2, 1, 0]]
+    verts = (pts.reshape(-1, 3) + np.asarray(center)).astype(np.float32)
+    faces = []
+    for i in range(seg - 1):
+        for j in range(tube):
+            j2 = (j + 1) % tube
+            a, b = i * tube + j, i * tube + j2
+            c, d = (i + 1) * tube + j, (i + 1) * tube + j2
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    return verts, np.asarray(faces, np.int32)
+
+
+def _normalize_canonical(v: np.ndarray) -> np.ndarray:
+    """Center on the bbox center and scale so the max bbox extent is 1
+    (ShapeNet model_normalized convention, dataset.py:229-234)."""
+    lo, hi = v.min(0), v.max(0)
+    v = v - (lo + hi) / 2
+    return (v / max(float((hi - lo).max()), 1e-9)).astype(np.float32)
+
+
+def make_category_mesh(category: str, rng: np.random.Generator) -> Mesh:
+    """A randomized procedural mesh for a NOCS category, canonical frame."""
+    if category == "can":
+        r = rng.uniform(0.3, 0.45)
+        h = 1.0
+        prof_r = np.array([0.0, r, r, 0.0])
+        prof_y = np.array([-h / 2, -h / 2, h / 2, h / 2])
+        v, f = _revolve(prof_r, prof_y)
+    elif category == "bottle":
+        body_r = rng.uniform(0.28, 0.4)
+        neck_r = body_r * rng.uniform(0.25, 0.45)
+        shoulder = rng.uniform(0.1, 0.25)
+        prof_r = np.array([0.0, body_r, body_r, neck_r, neck_r, 0.0])
+        prof_y = np.array([-0.5, -0.5, 0.5 - shoulder - 0.15, 0.5 - 0.12, 0.5, 0.5])
+        v, f = _revolve(prof_r, prof_y)
+    elif category == "bowl":
+        r = 0.5
+        t = rng.uniform(0.03, 0.06)  # wall thickness
+        th = np.linspace(-np.pi / 2, -0.15 * np.pi * rng.uniform(0.3, 1.0), 12)
+        outer_r = r * np.cos(th)
+        outer_y = r * np.sin(th) * rng.uniform(0.55, 0.8)
+        inner_r = (outer_r - t)[::-1]
+        inner_y = (outer_y + t)[::-1]
+        prof_r = np.concatenate([[0.0], outer_r, inner_r, [0.0]])
+        prof_y = np.concatenate([[outer_y[0]], outer_y, inner_y, [inner_y[-1]]])
+        v, f = _revolve(prof_r, prof_y)
+    elif category == "mug":
+        r = rng.uniform(0.3, 0.38)
+        h = rng.uniform(0.8, 1.0)
+        t = 0.05
+        prof_r = np.array([0.0, r, r, r - t, r - t, 0.0])
+        prof_y = np.array([-h / 2, -h / 2, h / 2, h / 2, -h / 2 + t, -h / 2 + t])
+        body = _revolve(prof_r, prof_y)
+        handle = _torus(h * 0.3, 0.05, center=(r + 0.02, 0.0, 0.0), axis="x")
+        v, f = _merge(body, handle)
+    elif category == "laptop":
+        w = 1.0
+        d = rng.uniform(0.6, 0.75)
+        t = rng.uniform(0.03, 0.05)
+        ang = rng.uniform(np.deg2rad(95), np.deg2rad(125))
+        base = _box((w, t, d), center=(0, t / 2, d / 2))
+        lid_v, lid_f = _box((w, t, d), center=(0, t / 2, d / 2))
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+        lid_v = lid_v @ rot.T
+        v, f = _merge(base, (lid_v, lid_f))
+    elif category == "camera":
+        body = _box((1.0, 0.62, 0.4), center=(0, 0, 0))
+        lens_r = rng.uniform(0.16, 0.22)
+        prof_r = np.array([0.0, lens_r, lens_r, 0.0])
+        prof_y = np.array([0.0, 0.0, 0.3, 0.3])
+        lens_v, lens_f = _revolve(prof_r, prof_y, segments=32)
+        # lens along +x (camera canonical front is +x, config/category/camera.yaml)
+        lens_v = lens_v[:, [1, 0, 2]] * np.array([1, 1, 1], np.float32)
+        lens_v[:, 0] += 0.2
+        v, f = _merge(body, (lens_v.astype(np.float32), lens_f))
+    else:
+        raise ValueError(f"unknown category {category!r}")
+    return _normalize_canonical(v), f
+
+
+# ---------------------------------------------------------------------------
+# Surface sampling
+# ---------------------------------------------------------------------------
+
+def sample_surface(mesh: Mesh, n: int, rng: np.random.Generator):
+    """Area-weighted surface samples with per-sample (unnormalized face) normals.
+
+    Returns (points (n, 3) float32, normals (n, 3) float32 unit).
+    """
+    v, f = mesh
+    tri = v[f]                                   # (F, 3, 3)
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    cross = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(cross, axis=-1)
+    prob = area / max(area.sum(), 1e-12)
+    pick = rng.choice(len(f), size=n, p=prob)
+    u = rng.uniform(size=(n, 1))
+    w = rng.uniform(size=(n, 1))
+    flip = (u + w) > 1
+    u = np.where(flip, 1 - u, u)
+    w = np.where(flip, 1 - w, w)
+    pts = tri[pick, 0] + u * e1[pick] + w * e2[pick]
+    nrm = cross[pick]
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    return pts.astype(np.float32), nrm.astype(np.float32)

@@ -1,0 +1,11 @@
+from cppf2_tpu.eval.iou3d import Box, oriented_iou, iou_with_symmetry
+from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
+from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
+
+__all__ = [
+    "Box",
+    "oriented_iou",
+    "iou_with_symmetry",
+    "pose_error_degree_cm",
+    "compute_degree_cm_map",
+]

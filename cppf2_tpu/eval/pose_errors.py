@@ -1,0 +1,52 @@
+"""Symmetry-aware pose error metrics (degrees, centimeters).
+
+Numpy equivalent of the reference's `compute_RT_degree_cm_symmetry`
+(utils/util.py:588-663): rotations are scale-normalized by det^(1/3);
+rotation error is the y-axis angle for continuously symmetric classes
+(bottle/can/bowl, and handle-occluded mug), min over a 180° flip for
+phone/eggbox/glue, and the trace formula otherwise; translation error in cm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_Y_SYM = ("bottle", "can", "bowl")
+_Y_SYM_OCCLUDED = ("mug", "chair", "bathtub", "bookshelf", "bed", "sofa", "table")
+_FLIP_SYM = ("phone", "eggbox", "glue")
+
+
+def pose_error_degree_cm(
+    rt1: np.ndarray,
+    rt2: np.ndarray,
+    class_name: str,
+    handle_visibility: int = 1,
+) -> np.ndarray:
+    """Returns np.array([theta_degrees, shift_cm]); [-1] sentinel if either is None."""
+    if rt1 is None or rt2 is None:
+        return np.array([-1.0])
+
+    rt1 = np.asarray(rt1, np.float64)
+    rt2 = np.asarray(rt2, np.float64)
+    r1 = rt1[:3, :3] / np.cbrt(np.linalg.det(rt1[:3, :3]))
+    r2 = rt2[:3, :3] / np.cbrt(np.linalg.det(rt2[:3, :3]))
+    t1, t2 = rt1[:3, 3], rt2[:3, 3]
+
+    if class_name in _Y_SYM or (class_name in _Y_SYM_OCCLUDED and handle_visibility == 0):
+        y = np.array([0.0, 1.0, 0.0])
+        y1, y2 = r1 @ y, r2 @ y
+        cos = y1.dot(y2) / (np.linalg.norm(y1) * np.linalg.norm(y2))
+        theta = np.arccos(np.clip(cos, -1.0, 1.0))
+    elif class_name in _FLIP_SYM:
+        flip = np.diag([-1.0, 1.0, -1.0])
+        r = r1 @ r2.T
+        r_flip = r1 @ flip @ r2.T
+        theta = min(
+            np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1)),
+            np.arccos(np.clip((np.trace(r_flip) - 1) / 2, -1, 1)),
+        )
+    else:
+        r = r1 @ r2.T
+        theta = np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1))
+
+    return np.array([np.degrees(theta), np.linalg.norm(t1 - t2) * 100.0])

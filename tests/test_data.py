@@ -1,0 +1,137 @@
+"""Tests for procedural shapes, the splat renderer, and the synthetic frame
+generator — including the round-trip invariant: generated frames' pc_canon must
+equal (pc - trans) @ rot / scale_norm and live inside the canonical half-cube."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cppf2_tpu.config import CATEGORIES
+from cppf2_tpu.data import (
+    NOCS_INTRINSICS,
+    SyntheticFrameGenerator,
+    make_category_mesh,
+    sample_surface,
+    splat_render_depth,
+)
+
+ALL_CATS = list(CATEGORIES)
+
+
+class TestShapes:
+    @pytest.mark.parametrize("cat", ALL_CATS)
+    def test_mesh_canonical(self, cat, rng):
+        v, f = make_category_mesh(cat, rng)
+        assert v.ndim == 2 and f.ndim == 2 and f.shape[1] == 3
+        assert f.max() < len(v)
+        ext = v.max(0) - v.min(0)
+        np.testing.assert_allclose(ext.max(), 1.0, atol=1e-5)
+        center = (v.max(0) + v.min(0)) / 2
+        np.testing.assert_allclose(center, 0.0, atol=1e-5)
+
+    def test_surface_sampling(self, rng):
+        v, f = make_category_mesh("can", rng)
+        pts, nrm = sample_surface((v, f), 5000, rng)
+        assert pts.shape == (5000, 3)
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-5)
+        # samples stay within the canonical bbox
+        assert pts.min() >= -0.51 and pts.max() <= 0.51
+
+
+class TestSplatRender:
+    def test_depth_geometry(self, rng):
+        # a canonical can at a known pose: depth pixels must backproject onto
+        # the transformed surface
+        v, f = make_category_mesh("can", rng)
+        pts, nrm = sample_surface((v, f), 200000, rng)
+        R = np.eye(3, dtype=np.float32)
+        T = np.array([0.0, 0.0, 1.0], np.float32)
+        s = np.float32(0.15)
+        K = NOCS_INTRINSICS.copy()
+        K[0] *= 0.5
+        K[1] *= 0.5
+        depth, gray = splat_render_depth(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(R), jnp.asarray(T),
+            s, jnp.asarray(K), height=240, width=320,
+        )
+        depth = np.asarray(depth)
+        assert (depth > 0).sum() > 500
+        zs = depth[depth > 0]
+        # object of extent 0.15 at z=1: depths within [1 - 0.15, 1 + 0.15]
+        assert zs.min() > 0.8 and zs.max() < 1.2
+        gray = np.asarray(gray)
+        assert gray.shape == depth.shape
+        assert np.all((gray > 0) == (depth > 0))
+
+    def test_backface_culling_sees_near_surface(self, rng):
+        v, f = make_category_mesh("can", rng)
+        pts, nrm = sample_surface((v, f), 200000, rng)
+        K = NOCS_INTRINSICS.copy()
+        K[0] *= 0.5
+        K[1] *= 0.5
+        depth, _ = splat_render_depth(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(np.eye(3, dtype=np.float32)),
+            jnp.asarray(np.array([0, 0, 1.0], np.float32)), np.float32(0.15),
+            jnp.asarray(K), height=240, width=320,
+        )
+        depth = np.asarray(depth)
+        # center pixel should be the near wall (z ~ 1 - r*0.15), not the far one
+        cz = depth[120, 160]
+        assert 0 < cz < 1.0
+
+
+class TestSyntheticFrames:
+    @pytest.mark.parametrize("cat", ["can", "mug"])
+    def test_frame_invariants(self, cat):
+        gen = SyntheticFrameGenerator(
+            CATEGORIES[cat], n_max=2048, surface_samples=60000,
+            height=240, width=320, shot_k=24, seed=3,
+        )
+        f = gen.next_frame()
+        count = int(f.count)
+        assert count >= 100
+        valid = np.asarray(f.valid)
+        pc = np.asarray(f.pc)
+        canon = np.asarray(f.pc_canon)
+        rot = np.asarray(f.rotation)
+        trans = np.asarray(f.translation)
+        sn = float(f.scale_norm)
+        # rotation is orthonormal
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-4)
+        # canonical round trip
+        want = (pc[valid] - trans) @ rot / sn
+        np.testing.assert_allclose(canon[valid], want, atol=1e-4)
+        # canonical cloud lives in the half-cube (model normalized to extent 1)
+        assert np.abs(canon[valid]).max() < 0.75
+        # features are finite
+        assert np.all(np.isfinite(np.asarray(f.shot)))
+        assert np.all(np.isfinite(np.asarray(f.normal)))
+        # bound is metric and in the category's range
+        bound = np.asarray(f.bound)
+        lo, hi = CATEGORIES[cat].scale_range
+        assert lo - 1e-5 <= bound.max() <= hi + 1e-5
+
+    def test_symmetric_canonicalization(self):
+        # for up_sym categories the recorded rotation is canonicalized: the
+        # in-plane (x,z) block row must have zero rotation angle about y
+        gen = SyntheticFrameGenerator(
+            CATEGORIES["can"], n_max=1024, surface_samples=40000,
+            height=240, width=320, shot_k=16, seed=5,
+        )
+        f = gen.next_frame()
+        rot = np.asarray(f.rotation).T
+        other = [0, 2]
+        sub = rot[np.ix_(other, other)]
+        alpha = np.arctan2(sub[1, 0] - sub[0, 1], sub[0, 0] + sub[1, 1])
+        assert abs(alpha) < 1e-4
+
+    def test_training_batch_shapes(self):
+        gen = SyntheticFrameGenerator(
+            CATEGORIES["bowl"], n_max=1024, surface_samples=40000,
+            height=240, width=320, shot_k=16, seed=7,
+        )
+        b = gen.batch(2)
+        assert b["pc"].shape == (2, 1024, 3)
+        assert b["shot"].shape == (2, 1024, 352)
+        assert b["count"].shape == (2,)

@@ -1,0 +1,155 @@
+"""End-to-end inference graph tests with an oracle model: perfect bin logits
+derived from ground-truth canonical coordinates must recover (R, T, s) through
+the full vote -> backvote -> rotation -> alignment -> ensemble graph."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cppf2_tpu.config import CATEGORIES, PipelineConfig
+from cppf2_tpu.infer import estimate_pose_branch, estimate_pose_ensemble
+from cppf2_tpu.core.geometry import fibonacci_sphere
+from cppf2_tpu.models.cppf import TuplePredictions
+
+PIPE = PipelineConfig(
+    n_points=512, num_pairs=2048, num_rots=60, opt_steps=60,
+    coarse_grid=64, fine_grid=64,
+)
+
+
+def _make_scene(rng, cat, n=512):
+    from scipy.stats import special_ortho_group
+
+    bound = np.array([0.12, 0.2, 0.12], np.float32)
+    pc_canon = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32) * (
+        bound / bound.max()
+    )
+    R = special_ortho_group.rvs(3, random_state=rng).astype(np.float32)
+    T = np.array([0.15, -0.1, 0.8], np.float32)
+    s = float(bound.max())
+    pc = (pc_canon * s) @ R.T + T
+    return pc.astype(np.float32), pc_canon, R, T, s, bound
+
+
+def _oracle_apply(pc_canon, bound, num_bins=32, sharp=50.0):
+    """apply_fn returning near-perfect bin logits + the gt bound."""
+    pc_canon = jnp.asarray(pc_canon)
+    bound = jnp.asarray(bound)
+
+    def apply_fn(params, points, tuple_idx):
+        coords = jnp.clip(pc_canon[tuple_idx[:, :2]], -0.5, 0.5) + 0.5  # (P,2,3)
+        bins = jnp.round(coords * (num_bins - 1)).astype(jnp.int32)
+        logits = jax.nn.one_hot(bins.reshape(-1, 6), num_bins) * sharp
+        scales = jnp.broadcast_to(bound, (tuple_idx.shape[0], 3))
+        return TuplePredictions(logits.reshape(-1, 6, num_bins), scales)
+
+    return apply_fn
+
+
+def _rot_err_deg(R_est, R_gt):
+    cos = (np.trace(R_est.T @ R_gt) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def _axis_err_deg(R_est, R_gt, axis):
+    a, b = R_est @ axis, R_gt @ axis
+    return np.degrees(np.arccos(np.clip(np.dot(a, b), -1, 1)))
+
+
+class TestOraclePose:
+    @pytest.mark.parametrize("cat_name", ["mug", "bowl"])
+    def test_branch_recovers_pose(self, rng, cat_name):
+        cat = CATEGORIES[cat_name]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        apply_fn = _oracle_apply(pc_canon, bound)
+        n = len(pc)
+        sphere = jnp.asarray(fibonacci_sphere(PIPE.sphere_samples))
+        key = jax.random.key(0)
+        u = jax.random.uniform(key, (PIPE.num_pairs, 5))
+        tuple_idx = jnp.floor(u * n).astype(jnp.int32)
+
+        est = estimate_pose_branch(
+            apply_fn, None, jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+            tuple_idx, jax.random.key(1), cat, PIPE, sphere, run_opt=True,
+        )
+        t_err_cm = np.linalg.norm(np.asarray(est.translation) - T) * 100
+        assert t_err_cm < 1.5, t_err_cm
+        up = np.array([0.0, 1, 0], np.float32)
+        up_err = _axis_err_deg(np.asarray(est.rotation), R, up)
+        assert up_err < 7.0, up_err
+        if not cat.up_sym:
+            rot_err = _rot_err_deg(np.asarray(est.rotation), R)
+            assert rot_err < 10.0, rot_err
+        np.testing.assert_allclose(np.asarray(est.scale), bound, atol=1e-3)
+        # NOTE: even a perfect pose has nonzero reconstruction loss — the
+        # reference divides the cloud by |bound| (eval.py:358) while predictions
+        # live in max(bound)-normalized canonical space (dataset.py:286); the
+        # loss is only used comparatively between branches (eval.py:367).
+        assert float(est.loss) < 0.08
+
+    def test_alignment_improves_perturbed_pose(self, rng):
+        # sanity of the refinement: alignment should not worsen a good pose
+        cat = CATEGORIES["laptop"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        apply_fn = _oracle_apply(pc_canon, bound)
+        n = len(pc)
+        sphere = jnp.asarray(fibonacci_sphere(PIPE.sphere_samples))
+        u = jax.random.uniform(jax.random.key(2), (PIPE.num_pairs, 5))
+        tuple_idx = jnp.floor(u * n).astype(jnp.int32)
+        args = (
+            apply_fn, None, jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+            tuple_idx, jax.random.key(3), cat, PIPE, sphere,
+        )
+        est_noopt = estimate_pose_branch(*args, run_opt=False)
+        est_opt = estimate_pose_branch(*args, run_opt=True)
+        assert float(est_opt.loss) <= float(est_noopt.loss) + 1e-4
+
+    def test_ensemble_prefers_oracle_branch(self, rng):
+        cat = CATEGORIES["mug"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        oracle = _oracle_apply(pc_canon, bound)
+
+        def garbage_apply(params, points, tuple_idx):
+            k = jax.random.key(42)
+            logits = jax.random.normal(k, (tuple_idx.shape[0], 6, 32)) * 3.0
+            scales = jnp.broadcast_to(jnp.asarray(bound), (tuple_idx.shape[0], 3))
+            return TuplePredictions(logits, scales)
+
+        n = len(pc)
+        est = estimate_pose_ensemble(
+            oracle, None, garbage_apply, None,
+            jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+            jax.random.key(4), cat, PIPE, run_opt=False,
+        )
+        t_err_cm = np.linalg.norm(np.asarray(est.translation) - T) * 100
+        assert t_err_cm < 1.5, t_err_cm
+
+        # and the reverse order: garbage visual, oracle geo
+        est2 = estimate_pose_ensemble(
+            garbage_apply, None, oracle, None,
+            jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+            jax.random.key(4), cat, PIPE, run_opt=False,
+        )
+        t_err2 = np.linalg.norm(np.asarray(est2.translation) - T) * 100
+        assert t_err2 < 1.5, t_err2
+
+    def test_padded_cloud(self, rng):
+        cat = CATEGORIES["bowl"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat, n=400)
+        pad = np.zeros((112, 3), np.float32)
+        pc_pad = np.concatenate([pc, pad])
+        canon_pad = np.concatenate([pc_canon, np.zeros((112, 3), np.float32)])
+        valid = np.zeros(512, bool)
+        valid[:400] = True
+        apply_fn = _oracle_apply(canon_pad, bound)
+        sphere = jnp.asarray(fibonacci_sphere(PIPE.sphere_samples))
+        u = jax.random.uniform(jax.random.key(5), (PIPE.num_pairs, 5))
+        tuple_idx = jnp.floor(u * 400).astype(jnp.int32)
+        est = estimate_pose_branch(
+            apply_fn, None, jnp.asarray(pc_pad), jnp.asarray(valid), jnp.int32(400),
+            tuple_idx, jax.random.key(6), cat, PIPE, sphere, run_opt=False,
+        )
+        assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
