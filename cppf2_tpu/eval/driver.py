@@ -1,0 +1,237 @@
+"""REAL275 evaluation driver: detections -> per-instance pose -> NOCS mAP.
+
+Re-architecture of the reference's eval loop (eval.py:54-412): per instance,
+crop the masked RGB, sample DINO descriptors at cloud pixels, preprocess the
+depth to a padded cloud + SHOT features, and run the jitted ensemble pose
+graph; results are accumulated in the NOCS pkl schema (pred_RTs with the scale
+norm folded into the rotation, unit-normalized pred_scales) and scored with
+`compute_degree_cm_map`.
+
+Detections (masks + class ids) come from upstream pkls exactly like the
+reference consumes SAR-Net Mask-RCNN results (eval.py:74-127); this
+environment carries no detector weights, so detection inputs are data, not a
+component we re-train.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf2_tpu.config import CATEGORIES, PipelineConfig, SYNSET_NAMES, get_category
+from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
+from cppf2_tpu.infer.frontend import mask_bbox, preprocess_frame, resize_crop
+from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
+from cppf2_tpu.models import DinoBranch, ShotBranch
+
+# REAL275 evaluation intrinsics (eval.py:82)
+REAL275_INTRINSICS = np.array(
+    [[591.0125, 0, 322.525], [0, 590.16775, 244.11084], [0, 0, 1]], np.float32
+)
+
+
+@dataclass
+class CategoryModels:
+    shot_model: ShotBranch
+    shot_params: dict
+    dino_model: DinoBranch
+    dino_params: dict
+
+
+def load_category_models(ckpt_root: str, categories=None) -> Dict[str, CategoryModels]:
+    """Restore per-category branch checkpoints from `{root}/{branch}/{cat}`.
+
+    Missing checkpoints fall back to randomly initialized params (the pipeline
+    still runs; accuracy requires training — BASELINE.md path (b))."""
+    from cppf2_tpu.train.checkpoints import latest_checkpoint, restore_params
+
+    out = {}
+    for name in categories or CATEGORIES:
+        cat = CATEGORIES[name]
+        shot_m = ShotBranch(tuple_size=cat.tuple_size)
+        dino_m = DinoBranch(tuple_size=cat.tuple_size)
+        i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
+        pc0 = jnp.zeros((16, 3))
+        sp = shot_m.init(
+            jax.random.key(0), pc0, jnp.zeros((16, 352)), jnp.zeros((16, 3)), i0
+        )
+        dp = dino_m.init(jax.random.key(1), pc0, jnp.zeros((16, 1024)), i0)
+        for branch, tgt in (("shot", "sp"), ("dino", "dp")):
+            last = latest_checkpoint(os.path.join(ckpt_root, branch, name)) if ckpt_root else None
+            if last:
+                params = restore_params(last)
+                if branch == "shot":
+                    sp = params
+                else:
+                    dp = params
+        out[name] = CategoryModels(shot_m, sp, dino_m, dp)
+    return out
+
+
+def estimate_instance(
+    rgb: np.ndarray,          # (H, W, 3) uint8
+    depth_m: np.ndarray,      # (H, W) float meters
+    mask: np.ndarray,         # (H, W) bool
+    intrinsics: np.ndarray,
+    models: CategoryModels,
+    cat_name: str,
+    pipe: PipelineConfig,
+    key,
+    dino_extractor=None,
+    run_opt: bool = True,
+):
+    """Pose one detected instance. Returns (RT 4x4, scales 3, loss) in the NOCS
+    convention (R * |s| in the rotation block, unit-normalized scales) or None
+    for degenerate inputs (eval.py:200-201, 370-372)."""
+    cat = get_category(cat_name)
+    k1, k2 = jax.random.split(key)
+
+    fi = preprocess_frame(
+        jnp.asarray(depth_m.astype(np.float32)), jnp.asarray(mask),
+        jnp.asarray(intrinsics.astype(np.float32)), k1,
+        res=cat.res, n_max=pipe.n_points,
+    )
+    count = int(fi.count)
+    if count < 32:
+        return None
+    pc_host = np.asarray(fi.pc)
+    extent = pc_host[: count].max(0) - pc_host[: count].min(0)
+    if extent.max() / cat.res > 1000:  # degenerate-extent guard (eval.py:200)
+        return None
+
+    # visual descriptors at the cloud's pixels, from the masked crop
+    if dino_extractor is not None:
+        rgb_masked = np.where(mask[..., None], rgb, 0).astype(np.uint8)
+        bbox = mask_bbox(mask)
+        crop, transform = resize_crop(rgb_masked, bbox=bbox, out_size=256)
+        kp = np.asarray(fi.pixel_yx)[:, ::-1].astype(np.float64)  # (n, xy)
+        kp_local = (np.linalg.inv(transform) @ np.concatenate(
+            [kp, np.ones((len(kp), 1))], -1).T).T[:, :2]
+        desc = np.asarray(
+            dino_extractor(jnp.asarray(crop / 255.0), jnp.asarray(kp_local.astype(np.float32)))
+        )
+    else:
+        desc = np.zeros((pipe.n_points, 1024), np.float32)
+    desc_j = jnp.asarray(desc)
+    shot_j, normal_j = fi.shot, fi.normal
+
+    def dino_apply(params, points, ti):
+        return models.dino_model.apply(params, points, desc_j, ti)
+
+    def shot_apply(params, points, ti):
+        return models.shot_model.apply(params, points, shot_j, normal_j, ti)
+
+    est = estimate_pose_ensemble(
+        dino_apply, models.dino_params, shot_apply, models.shot_params,
+        fi.pc, fi.valid, fi.count, k2, cat, pipe, run_opt=run_opt,
+    )
+    rt = np.eye(4)
+    rt[:3, :3] = np.asarray(est.rotation) * float(est.scale_norm)
+    rt[:3, 3] = np.asarray(est.translation)
+    scales = np.asarray(est.scale) / max(float(est.scale_norm), 1e-9)
+    return rt, scales, float(est.loss)
+
+
+def evaluate_real275(
+    detections_dir: str,
+    image_root: str,
+    out_dir: str,
+    ckpt_root: str = "ckpts",
+    pipe: Optional[PipelineConfig] = None,
+    dino_ckpt: Optional[str] = None,
+    limit: Optional[int] = None,
+    run_opt: bool = True,
+    seed: int = 0,
+):
+    """Full REAL275 evaluation (gated on dataset + detection pkls on disk)."""
+    import cv2
+
+    pipe = pipe or PipelineConfig()
+    pkls = sorted(glob.glob(os.path.join(detections_dir, "results_*.pkl")))
+    assert pkls, f"no detection pkls under {detections_dir}"
+    if limit:
+        pkls = pkls[:limit]
+
+    models = load_category_models(ckpt_root)
+    dino_extractor = None
+    if dino_ckpt:
+        from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, load_dinov2_params
+
+        params = load_dinov2_params(dino_ckpt)
+        if params is not None:
+            dino_extractor = DinoFeatureExtractor(params=params)
+
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.key(seed)
+    results = []
+    for pkl_path in pkls:
+        with open(pkl_path, "rb") as f:
+            res = pickle.load(f)
+        if "gt_handle_visibility" not in res:
+            res["gt_handle_visibility"] = np.ones_like(res["gt_class_ids"])
+        image_path = os.path.join(
+            image_root, os.path.relpath(res["image_path"], "data/real/test")
+        )
+        rgb = cv2.imread(image_path + "_color.png")[:, :, ::-1]
+        depth = cv2.imread(image_path + "_depth.png", -1).astype(np.float32) / 1000.0
+
+        n_inst = len(res["pred_class_ids"])
+        res["pred_RTs"] = np.stack([np.eye(4) for _ in range(n_inst)])
+        res["pred_scales"] = np.ones((n_inst, 3))
+        for i in range(n_inst):
+            cls_id = int(res["pred_class_ids"][i])
+            cat_name = SYNSET_NAMES[cls_id]
+            if cat_name not in CATEGORIES:
+                continue
+            key, sub = jax.random.split(key)
+            out = estimate_instance(
+                rgb, depth, res["pred_masks"][:, :, i].astype(bool),
+                REAL275_INTRINSICS, models[cat_name], cat_name, pipe, sub,
+                dino_extractor, run_opt,
+            )
+            if out is None:
+                continue
+            rt, scales, _ = out
+            res["pred_RTs"][i] = rt
+            res["pred_scales"][i] = scales
+        results.append(res)
+        with open(
+            os.path.join(out_dir, os.path.basename(pkl_path)), "wb"
+        ) as f:
+            pickle.dump(res, f)
+
+    return compute_degree_cm_map(
+        results, SYNSET_NAMES, os.path.join(out_dir, "plots"),
+        degree_thresholds=(5, 10, 15), shift_thresholds=(5, 10, 15),
+        iou_3d_thresholds=tuple(np.linspace(0, 1, 101)),
+        iou_pose_thres=0.1, use_matches_for_pose=True,
+    )
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detections", required=True)
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--out", default="nocs_output")
+    ap.add_argument("--ckpts", default="ckpts")
+    ap.add_argument("--dino-ckpt", default=None)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--no-opt", action="store_true")
+    args = ap.parse_args()
+    evaluate_real275(
+        args.detections, args.images, args.out, args.ckpts,
+        dino_ckpt=args.dino_ckpt, limit=args.limit, run_opt=not args.no_opt,
+    )
+
+
+if __name__ == "__main__":
+    main()

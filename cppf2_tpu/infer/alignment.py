@@ -45,12 +45,15 @@ def align_pose(
     w = (pair_weight > 0).astype(points.dtype)
     w_pairs = w[:, None, None]
     denom = jnp.maximum(jnp.sum(w), 1.0)
+    # gather once outside the loop: each optimization step then transforms only
+    # the (K, 2, 3) pair points instead of the full cloud + a gather per step
+    pair_pts = points[pair_idx]                            # (K, 2, 3)
 
     def loss_fn(params):
         trans, quat = params
         rot = quat_to_matrix(quat) @ rotation
-        canon = (points - trans) @ rot                     # (N, 3)
-        diff = jnp.abs(canon[pair_idx] - pred_pairs_scaled)  # (K, 2, 3)
+        canon = (pair_pts - trans) @ rot                   # (K, 2, 3)
+        diff = jnp.abs(canon - pred_pairs_scaled)
         if up_sym:
             # only the canonical up coordinate is well-defined under symmetry
             per = diff[..., 1] * w_pairs[..., 0]

@@ -1,0 +1,97 @@
+"""Frame frontend: mask crop, backprojection, downsampling, SHOT features.
+
+Host side: `resize_crop` — square bbox crop + resize with the 3x3 pixel
+transform mapping crop pixels back to image pixels (reference:
+dataset.py:322-337, used at eval.py:179-181). Device side: one jitted function
+from (depth, mask) to the padded cloud + SHOT features the pose graph consumes
+(reference equivalent: eval.py:185-216).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf2_tpu.core.downsample import voxel_downsample
+from cppf2_tpu.core.geometry import backproject_masked
+from cppf2_tpu.ops.shot import compute_shot_features
+
+
+def resize_crop_transform(bbox, out_size: int = 256, padding: float = 0.0):
+    """Square crop transform for a bbox (left, top, right, bottom).
+
+    Returns the 3x3 matrix mapping crop-pixel homogeneous coords to image-pixel
+    coords (reference: dataset.py:334-336); invert to map image points into the
+    crop.
+    """
+    left, top, right, bottom = bbox
+    width = right - left
+    height = bottom - top
+    size = max(width, height) * (1.0 + padding)
+    cx, cy = (right + left) / 2.0, (bottom + top) / 2.0
+    s = size / out_size
+    return np.array(
+        [[s, 0.0, cx - s * out_size / 2.0],
+         [0.0, s, cy - s * out_size / 2.0],
+         [0.0, 0.0, 1.0]],
+        np.float64,
+    )
+
+
+def resize_crop(img: np.ndarray, bbox=None, out_size: int = 256, padding: float = 0.0):
+    """Crop `img` to a square around bbox and resize to (out_size, out_size).
+
+    Returns (crop, transform) with transform as in `resize_crop_transform`.
+    Uses cv2 bilinear like PIL's default resize path in the reference.
+    """
+    import cv2
+
+    if bbox is None:
+        ys, xs = np.where(img.sum(-1) if img.ndim == 3 else img)
+        bbox = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+    t = resize_crop_transform(bbox, out_size, padding)
+    # warpAffine with the inverse mapping (crop <- image)
+    m = np.linalg.inv(t)[:2]
+    crop = cv2.warpAffine(
+        img.astype(np.float32), m, (out_size, out_size), flags=cv2.INTER_LINEAR
+    )
+    return crop, t
+
+
+def mask_bbox(mask: np.ndarray):
+    ys, xs = np.where(mask)
+    if len(xs) == 0:
+        return None
+    return (int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1)
+
+
+class FrameInputs(NamedTuple):
+    pc: jax.Array         # (n_max, 3)
+    valid: jax.Array      # (n_max,)
+    count: jax.Array      # ()
+    shot: jax.Array       # (n_max, 352)
+    normal: jax.Array     # (n_max, 3)
+    pixel_yx: jax.Array   # (n_max, 2) image pixels per point (for DINO sampling)
+
+
+@partial(jax.jit, static_argnames=("res", "n_max", "shot_k"))
+def preprocess_frame(
+    depth: jax.Array,       # (H, W) meters
+    mask: jax.Array,        # (H, W) bool instance mask
+    intrinsics: jax.Array,  # (3, 3)
+    key: jax.Array,
+    res: float = 2e-3,
+    n_max: int = 8192,
+    shot_k: int = 64,
+) -> FrameInputs:
+    """depth+mask -> padded downsampled cloud + SHOT features (eval.py:185-216)."""
+    pts_all, pixel_yx, valid_all = backproject_masked(depth, intrinsics, mask)
+    ds = voxel_downsample(pts_all, valid_all, res, n_max, key)
+    pc = jnp.where(ds.valid[:, None], pts_all[ds.indices], 0.0)
+    pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
+    shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
+    return FrameInputs(pc, ds.valid, jnp.minimum(ds.count, n_max), shot, normal, pix)

@@ -1,0 +1,273 @@
+"""DINOv2 ViT in flax + feature interpolation at keypoints.
+
+JAX re-implementation of the frozen visual backbone the reference pulls from
+torch.hub (`dinov2_vitl14`, dataset.py:62-80) and its bilinear patch-token
+sampling (`interpolate_features`, dataset.py:40-59, F.grid_sample semantics
+with align_corners=False).
+
+Weights: `port_torch_state_dict` maps an official DINOv2 checkpoint
+state_dict (torch) onto these modules. No network egress exists in this
+environment, so checkpoints must be provided on disk; with none present the
+model runs with random weights (pipeline-correct, not feature-accurate) —
+gate on `load_dinov2_params(path)`.
+
+Architecture (ViT-L/14, no registers): 14x14 conv patch embed -> cls token +
+interpolated pos embed -> 24 pre-norm blocks (MHA 16 heads + LayerScale,
+MLP 4x + LayerScale) -> final LayerNorm; `forward_features` returns the normed
+patch tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    layerscale_init: float = 1e-5
+    # position-embed grid of the pretrained checkpoint (518/14 = 37)
+    pretrain_grid: int = 37
+
+
+VIT_L14 = ViTConfig()
+VIT_S14 = ViTConfig(embed_dim=384, depth=12, num_heads=6)
+VIT_B14 = ViTConfig(embed_dim=768, depth=12, num_heads=12)
+
+
+class _Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.embed_dim
+        h = self.cfg.num_heads
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[0], h, d // h).transpose(1, 0, 2)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = (d // h) ** -0.5
+        attn = jax.nn.softmax((q * scale) @ k.transpose(0, 2, 1), axis=-1)
+        out = (attn @ v).transpose(1, 0, 2).reshape(x.shape[0], d)
+        return nn.Dense(d, name="proj")(out)
+
+
+class _Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        ls1 = self.param(
+            "ls1", lambda k: jnp.full((c.embed_dim,), c.layerscale_init, jnp.float32)
+        )
+        ls2 = self.param(
+            "ls2", lambda k: jnp.full((c.embed_dim,), c.layerscale_init, jnp.float32)
+        )
+        x = x + ls1 * _Attention(c, name="attn")(nn.LayerNorm(name="norm1")(x))
+        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), name="mlp_fc1")(
+            nn.LayerNorm(name="norm2")(x)
+        )
+        h = nn.Dense(c.embed_dim, name="mlp_fc2")(nn.gelu(h))
+        return x + ls2 * h
+
+
+class DinoViT(nn.Module):
+    """forward_features: (H, W, 3) image in [0,1] -> (h/p, w/p, D) patch tokens."""
+
+    cfg: ViTConfig = VIT_L14
+
+    @nn.compact
+    def __call__(self, img: jax.Array) -> jax.Array:
+        c = self.cfg
+        p = c.patch_size
+        gh, gw = img.shape[0] // p, img.shape[1] // p
+        x = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        x = nn.Conv(
+            c.embed_dim, (p, p), strides=(p, p), padding="VALID", name="patch_embed"
+        )(x[None])[0]
+        x = x.reshape(gh * gw, c.embed_dim)
+
+        cls_tok = self.param(
+            "cls_token", nn.initializers.zeros, (1, c.embed_dim), jnp.float32
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1 + c.pretrain_grid * c.pretrain_grid, c.embed_dim),
+            jnp.float32,
+        )
+        pos_patch = pos[1:].reshape(c.pretrain_grid, c.pretrain_grid, c.embed_dim)
+        if (gh, gw) != (c.pretrain_grid, c.pretrain_grid):
+            pos_patch = jax.image.resize(
+                pos_patch, (gh, gw, c.embed_dim), method="bicubic"
+            )
+        x = x + pos_patch.reshape(gh * gw, c.embed_dim)
+        tokens = jnp.concatenate([cls_tok + pos[:1], x], axis=0)
+
+        for i in range(c.depth):
+            tokens = _Block(c, name=f"block{i}")(tokens)
+        tokens = nn.LayerNorm(name="norm")(tokens)
+        return tokens[1:].reshape(gh, gw, c.embed_dim)
+
+
+# ---------------------------------------------------------------------------
+# Bilinear sampling at keypoints (dataset.py:40-59 semantics)
+# ---------------------------------------------------------------------------
+
+def interpolate_features(
+    feat_grid: jax.Array,   # (gh, gw, D) patch-token grid
+    pts_xy: jax.Array,      # (K, 2) pixel coords in the *input image* space
+    image_hw: Tuple[int, int],
+    stride: int,
+    normalize: bool = True,
+) -> jax.Array:
+    """Sample the token grid at keypoint pixel locations.
+
+    Matches torch F.grid_sample(bilinear, align_corners=False) driven through
+    the reference's coordinate mapping (dataset.py:46-47): keypoint pixel ->
+    normalized by (size * stride) -> grid sample over the (h/stride, w/stride)
+    token grid. Out-of-range samples are zero-padded.
+    """
+    gh, gw, d = feat_grid.shape
+    h, w = image_hw
+    # normalized in [-1, 1] (pixel-center convention)
+    nx = ((pts_xy[:, 0] + 0.5) / w) * 2 - 1
+    ny = ((pts_xy[:, 1] + 0.5) / h) * 2 - 1
+    # align_corners=False: unnormalize onto the token grid
+    fx = ((nx + 1) * gw - 1) / 2
+    fy = ((ny + 1) * gh - 1) / 2
+
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    wx = fx - x0
+    wy = fy - y0
+
+    def tap(yy, xx):
+        inb = (yy >= 0) & (yy < gh) & (xx >= 0) & (xx < gw)
+        val = feat_grid[jnp.clip(yy, 0, gh - 1), jnp.clip(xx, 0, gw - 1)]
+        return jnp.where(inb[:, None], val, 0.0)
+
+    out = (
+        tap(y0, x0) * ((1 - wx) * (1 - wy))[:, None]
+        + tap(y0, x0 + 1) * (wx * (1 - wy))[:, None]
+        + tap(y0 + 1, x0) * ((1 - wx) * wy)[:, None]
+        + tap(y0 + 1, x0 + 1) * (wx * wy)[:, None]
+    )
+    if normalize:
+        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    return out
+
+
+class DinoFeatureExtractor:
+    """Crop-image -> per-keypoint descriptors, the analog of the reference's
+    `DINOV2` module (dataset.py:62-80): resize to (h/stride*14, w/stride*14),
+    forward, bilinear-sample patch tokens at keypoints, L2-normalize."""
+
+    def __init__(self, params=None, cfg: ViTConfig = VIT_L14, stride: int = 4):
+        self.cfg = cfg
+        self.stride = stride
+        self.model = DinoViT(cfg)
+        self.params = params
+        self._jit = jax.jit(self._run, static_argnames=("hw",))
+
+    def init_random(self, hw=(256, 256), seed=0):
+        h, w = hw
+        ph, pw = h // self.stride, w // self.stride
+        img = jnp.zeros((ph * 14, pw * 14, 3), jnp.float32)
+        self.params = self.model.init(jax.random.key(seed), img)
+        return self.params
+
+    def _run(self, params, image, pts_xy, hw):
+        h, w = hw
+        ph, pw = h // self.stride, w // self.stride
+        resized = jax.image.resize(image, (ph * 14, pw * 14, 3), method="bilinear")
+        grid = self.model.apply(params, resized)
+        return interpolate_features(grid, pts_xy, (h, w), self.stride)
+
+    def __call__(self, image: jax.Array, pts_xy: jax.Array) -> jax.Array:
+        """image: (H, W, 3) in [0,1]; pts_xy: (K, 2) crop-pixel coords."""
+        assert self.params is not None, "load or init DINOv2 params first"
+        return self._jit(self.params, image, pts_xy, tuple(image.shape[:2]))
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint porting
+# ---------------------------------------------------------------------------
+
+def port_torch_state_dict(sd: Dict[str, Any], cfg: ViTConfig = VIT_L14):
+    """Map an official DINOv2 torch state_dict onto DinoViT's param pytree.
+
+    Accepts either torch tensors or numpy arrays as values. Key layout follows
+    facebookresearch/dinov2 (patch_embed.proj, blocks.N.{norm1,attn.qkv,...}).
+    """
+
+    def a(x):
+        return np.asarray(getattr(x, "detach", lambda: x)() if hasattr(x, "detach") else x)
+
+    params: Dict[str, Any] = {}
+    params["patch_embed"] = {
+        # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+        "kernel": a(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+        "bias": a(sd["patch_embed.proj.bias"]),
+    }
+    params["cls_token"] = a(sd["cls_token"]).reshape(1, cfg.embed_dim)
+    params["pos_embed"] = a(sd["pos_embed"]).reshape(-1, cfg.embed_dim)
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        params[f"block{i}"] = {
+            "norm1": {"scale": a(sd[p + "norm1.weight"]), "bias": a(sd[p + "norm1.bias"])},
+            "norm2": {"scale": a(sd[p + "norm2.weight"]), "bias": a(sd[p + "norm2.bias"])},
+            "ls1": a(sd[p + "ls1.gamma"]),
+            "ls2": a(sd[p + "ls2.gamma"]),
+            "attn": {
+                "qkv": {
+                    "kernel": a(sd[p + "attn.qkv.weight"]).T,
+                    "bias": a(sd[p + "attn.qkv.bias"]),
+                },
+                "proj": {
+                    "kernel": a(sd[p + "attn.proj.weight"]).T,
+                    "bias": a(sd[p + "attn.proj.bias"]),
+                },
+            },
+            "mlp_fc1": {
+                "kernel": a(sd[p + "mlp.fc1.weight"]).T,
+                "bias": a(sd[p + "mlp.fc1.bias"]),
+            },
+            "mlp_fc2": {
+                "kernel": a(sd[p + "mlp.fc2.weight"]).T,
+                "bias": a(sd[p + "mlp.fc2.bias"]),
+            },
+        }
+    params["norm"] = {"scale": a(sd["norm.weight"]), "bias": a(sd["norm.bias"])}
+    return {"params": params}
+
+
+def load_dinov2_params(path: str, cfg: ViTConfig = VIT_L14):
+    """Load a DINOv2 torch checkpoint from disk (gated: returns None if absent)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    return port_torch_state_dict(sd, cfg)

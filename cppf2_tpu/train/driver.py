@@ -1,0 +1,160 @@
+"""Training driver CLI: train a category branch end-to-end on synthetic frames.
+
+Replaces the reference's hydra + Lightning entrypoints (train_shot.py:133-150,
+train_dino.py:142-161): frames stream from the on-device synthetic generator
+(no pkl dump stage), batches are data-parallel over every visible device, and
+checkpoints/metrics go through orbax / a jsonl log.
+
+Usage:
+    python -m cppf2_tpu.train.driver --category mug --branch shot \
+        --epochs 101 --steps-per-epoch 200 --out ckpts/shot/mug
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf2_tpu.config import CATEGORIES, TrainConfig
+from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
+from cppf2_tpu.models import DinoBranch, ShotBranch
+from cppf2_tpu.parallel import make_mesh, replicate, shard_batch
+from cppf2_tpu.train import create_train_state
+from cppf2_tpu.train.checkpoints import latest_checkpoint, restore_checkpoint, save_checkpoint
+from cppf2_tpu.train.loop import make_train_step
+
+
+def train_category(
+    category: str,
+    branch: str = "shot",
+    cfg: TrainConfig = None,
+    out_dir: str = None,
+    n_points: int = 2048,
+    batch_per_device: int = 1,
+    frames_in_pool: int = 64,
+    resume: bool = True,
+    log_every: int = 20,
+    ckpt_every_epochs: int = 10,
+    render_hw=(480, 640),
+    progress=print,
+):
+    """Train one branch for one category. Returns the final TrainState.
+
+    Frame pool: rendering is host-orchestrated and slower than the train step,
+    so a pool of `frames_in_pool` frames is pre-generated and refreshed
+    incrementally — the analog of the reference's 100-dump-per-model replay
+    buffer (dataset.py:341-364), but regenerated online.
+    """
+    cat = CATEGORIES[category]
+    cfg = cfg or TrainConfig(n_points=n_points)
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    batch_size = batch_per_device * n_dev
+
+    gen = SyntheticFrameGenerator(
+        cat, n_max=n_points, height=render_hw[0], width=render_hw[1],
+        seed=cfg.seed,
+    )
+    model = ShotBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins) \
+        if branch == "shot" else DinoBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins)
+    if branch != "shot":
+        raise NotImplementedError(
+            "the dino branch trains on descriptor frames; use train_dino_category "
+            "with a DinoFeatureExtractor (weights required for useful features)"
+        )
+
+    def to_batch(frames):
+        return {
+            "pc": jnp.asarray(np.stack([f["pc"] for f in frames])),
+            "pc_canon": jnp.asarray(np.stack([f["pc_canon"] for f in frames])),
+            "shot": jnp.asarray(np.stack([f["shot"] for f in frames])),
+            "normal": jnp.asarray(np.stack([f["normal"] for f in frames])),
+            "bound": jnp.asarray(np.stack([f["bound"] for f in frames])),
+            "count": jnp.asarray(np.stack([f["count"] for f in frames])),
+        }
+
+    def frame_np():
+        f = gen.next_frame()
+        return {
+            "pc": np.asarray(f.pc), "pc_canon": np.asarray(f.pc_canon),
+            "shot": np.asarray(f.shot), "normal": np.asarray(f.normal),
+            "bound": np.asarray(f.bound), "count": np.int32(f.count),
+        }
+
+    progress(f"[train] filling frame pool ({frames_in_pool})...")
+    pool = [frame_np() for _ in range(frames_in_pool)]
+
+    i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
+    f0 = pool[0]
+    state = create_train_state(
+        model,
+        (jnp.asarray(f0["pc"]), jnp.asarray(f0["shot"]), jnp.asarray(f0["normal"]), i0),
+        cfg,
+        jax.random.key(cfg.seed),
+    )
+    if out_dir and resume:
+        last = latest_checkpoint(out_dir)
+        if last:
+            state = restore_checkpoint(last, state)
+            progress(f"[train] resumed from {last} at step {int(state.step)}")
+
+    step_fn = make_train_step(model, cfg, branch=branch)
+    state = replicate(state, mesh)
+    log_path = os.path.join(out_dir, "metrics.jsonl") if out_dir else None
+    if log_path:
+        os.makedirs(out_dir, exist_ok=True)
+
+    rng = np.random.default_rng(cfg.seed + 1)
+    t0 = time.time()
+    start_epoch = int(state.step) // cfg.steps_per_epoch
+    for epoch in range(start_epoch, cfg.max_epochs):
+        for it in range(cfg.steps_per_epoch):
+            picks = rng.choice(len(pool), size=batch_size)
+            batch = shard_batch(to_batch([pool[i] for i in picks]), mesh)
+            state, metrics = step_fn(
+                state, batch, jax.random.key(int(rng.integers(0, 2**31)))
+            )
+            # refresh one pool frame per step (host render overlaps device step)
+            pool[int(rng.integers(0, len(pool)))] = frame_np()
+            s = int(state.step)
+            if s % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m |= {"step": s, "epoch": epoch, "wall": time.time() - t0}
+                progress(f"[train] {json.dumps(m)}")
+                if log_path:
+                    with open(log_path, "a") as fh:
+                        fh.write(json.dumps(m) + "\n")
+        if out_dir and ((epoch + 1) % ckpt_every_epochs == 0 or epoch + 1 == cfg.max_epochs):
+            path = save_checkpoint(out_dir, jax.device_get(state))
+            progress(f"[train] saved {path}")
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--category", required=True, choices=list(CATEGORIES))
+    ap.add_argument("--branch", default="shot", choices=["shot", "dino"])
+    ap.add_argument("--epochs", type=int, default=101)
+    ap.add_argument("--steps-per-epoch", type=int, default=200)
+    ap.add_argument("--n-points", type=int, default=2048)
+    ap.add_argument("--tuples", type=int, default=10000)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    cfg = TrainConfig(
+        lr=args.lr, max_epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+        tuples_per_step=args.tuples, n_points=args.n_points, seed=args.seed,
+    )
+    out = args.out or f"ckpts/{args.branch}/{args.category}"
+    train_category(args.category, args.branch, cfg, out, n_points=args.n_points)
+
+
+if __name__ == "__main__":
+    main()

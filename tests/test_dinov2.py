@@ -1,0 +1,138 @@
+"""DINOv2 backbone tests: forward shapes, grid-sample parity vs torch,
+checkpoint porting structural congruence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cppf2_tpu.models.dinov2 import (
+    DinoFeatureExtractor,
+    DinoViT,
+    ViTConfig,
+    interpolate_features,
+    port_torch_state_dict,
+)
+
+TINY = ViTConfig(embed_dim=64, depth=2, num_heads=4, pretrain_grid=37)
+
+
+class TestViT:
+    def test_forward_shapes(self):
+        model = DinoViT(TINY)
+        img = jnp.zeros((56, 56, 3))  # 4x4 grid of 14px patches
+        params = model.init(jax.random.key(0), img)
+        out = model.apply(params, img)
+        assert out.shape == (4, 4, 64)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_pos_embed_interpolation(self):
+        model = DinoViT(TINY)
+        img = jnp.zeros((56, 56, 3))
+        params = model.init(jax.random.key(0), img)
+        # different input size reuses the same params (pos embed resized)
+        out = model.apply(params, jnp.zeros((84, 70, 3)))
+        assert out.shape == (6, 5, 64)
+
+
+class TestInterpolateFeatures:
+    def test_matches_torch_grid_sample(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        gh, gw, d = 8, 10, 16
+        h, w = 32, 40
+        stride = 4
+        grid = rng.normal(size=(gh, gw, d)).astype(np.float32)
+        pts = rng.uniform(0, [w - 1, h - 1], size=(50, 2)).astype(np.float32)
+
+        got = np.asarray(
+            interpolate_features(
+                jnp.asarray(grid), jnp.asarray(pts), (h, w), stride, normalize=True
+            )
+        )
+
+        # reference semantics (dataset.py:40-59): keypoints normalized by the
+        # descriptor grid size times the stride (== the crop image size)
+        desc = torch.from_numpy(grid).permute(2, 0, 1)[None]  # 1, D, gh, gw
+        kp2 = torch.from_numpy(
+            np.stack(
+                [
+                    ((pts[:, 0] + 0.5) / gw / stride) * 2 - 1,
+                    ((pts[:, 1] + 0.5) / gh / stride) * 2 - 1,
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        sampled = F.grid_sample(
+            desc, kp2[None, None], align_corners=False, mode="bilinear"
+        )[0, :, 0].T
+        want = F.normalize(sampled, dim=-1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_out_of_range_zero(self, rng):
+        grid = rng.normal(size=(4, 4, 8)).astype(np.float32)
+        pts = np.array([[-100.0, -100.0]], np.float32)
+        out = np.asarray(
+            interpolate_features(jnp.asarray(grid), jnp.asarray(pts), (16, 16), 4, False)
+        )
+        np.testing.assert_allclose(out, 0.0)
+
+
+class TestPorting:
+    def test_state_dict_port_congruent(self, rng):
+        cfg = TINY
+        d, depth = cfg.embed_dim, cfg.depth
+        hid = int(d * cfg.mlp_ratio)
+        g = cfg.pretrain_grid
+        sd = {
+            "patch_embed.proj.weight": rng.normal(size=(d, 3, 14, 14)).astype(np.float32),
+            "patch_embed.proj.bias": rng.normal(size=(d,)).astype(np.float32),
+            "cls_token": rng.normal(size=(1, 1, d)).astype(np.float32),
+            "pos_embed": rng.normal(size=(1, 1 + g * g, d)).astype(np.float32),
+            "norm.weight": np.ones(d, np.float32),
+            "norm.bias": np.zeros(d, np.float32),
+        }
+        for i in range(depth):
+            p = f"blocks.{i}."
+            sd |= {
+                p + "norm1.weight": np.ones(d, np.float32),
+                p + "norm1.bias": np.zeros(d, np.float32),
+                p + "norm2.weight": np.ones(d, np.float32),
+                p + "norm2.bias": np.zeros(d, np.float32),
+                p + "ls1.gamma": np.full(d, 1e-5, np.float32),
+                p + "ls2.gamma": np.full(d, 1e-5, np.float32),
+                p + "attn.qkv.weight": rng.normal(size=(3 * d, d)).astype(np.float32),
+                p + "attn.qkv.bias": np.zeros(3 * d, np.float32),
+                p + "attn.proj.weight": rng.normal(size=(d, d)).astype(np.float32),
+                p + "attn.proj.bias": np.zeros(d, np.float32),
+                p + "mlp.fc1.weight": rng.normal(size=(hid, d)).astype(np.float32),
+                p + "mlp.fc1.bias": np.zeros(hid, np.float32),
+                p + "mlp.fc2.weight": rng.normal(size=(d, hid)).astype(np.float32),
+                p + "mlp.fc2.bias": np.zeros(d, np.float32),
+            }
+        ported = port_torch_state_dict(sd, cfg)
+
+        model = DinoViT(cfg)
+        img = jnp.zeros((56, 56, 3))
+        ref = model.init(jax.random.key(0), img)
+        # identical treedef and shapes
+        ref_shapes = jax.tree.map(lambda x: x.shape, ref)
+        got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, ported)
+        assert jax.tree.structure(ref_shapes) == jax.tree.structure(got_shapes)
+        assert jax.tree.all(jax.tree.map(lambda a, b: a == b, ref_shapes, got_shapes))
+        # the ported params actually run
+        out = model.apply(ported, img)
+        assert out.shape == (4, 4, cfg.embed_dim)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestExtractor:
+    def test_end_to_end(self, rng):
+        ex = DinoFeatureExtractor(cfg=TINY, stride=4)
+        ex.init_random(hw=(64, 64))
+        img = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(5, 55, size=(20, 2)).astype(np.float32))
+        feats = np.asarray(ex(img, pts))
+        assert feats.shape == (20, TINY.embed_dim)
+        np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-4)

@@ -1,0 +1,70 @@
+"""Frontend tests: crop transform math and the preprocess_frame graph."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf2_tpu.data.render import NOCS_INTRINSICS
+from cppf2_tpu.infer.frontend import (
+    mask_bbox,
+    preprocess_frame,
+    resize_crop,
+    resize_crop_transform,
+)
+
+
+class TestResizeCrop:
+    def test_transform_maps_crop_center_to_bbox_center(self):
+        bbox = (40, 60, 140, 120)
+        t = resize_crop_transform(bbox, out_size=256)
+        center_crop = t @ np.array([128, 128, 1.0])
+        np.testing.assert_allclose(center_crop[:2], [90, 90], atol=1e-6)
+
+    def test_transform_roundtrip(self, rng):
+        bbox = (30, 10, 200, 180)
+        t = resize_crop_transform(bbox, out_size=256)
+        pts = rng.uniform(0, 255, size=(10, 2))
+        img_pts = (t @ np.concatenate([pts, np.ones((10, 1))], -1).T).T[:, :2]
+        back = (np.linalg.inv(t) @ np.concatenate([img_pts, np.ones((10, 1))], -1).T).T[:, :2]
+        np.testing.assert_allclose(back, pts, atol=1e-9)
+
+    def test_crop_pixels_match_source(self, rng):
+        img = (rng.uniform(0, 255, size=(120, 160, 3))).astype(np.uint8)
+        bbox = (40, 20, 104, 84)  # square 64x64
+        crop, t = resize_crop(img, bbox=bbox, out_size=64)
+        # square bbox at the same size -> identity sampling of the region
+        np.testing.assert_allclose(
+            crop, img[20:84, 40:104].astype(np.float32), atol=1.0
+        )
+
+    def test_mask_bbox(self):
+        m = np.zeros((50, 60), bool)
+        m[10:20, 30:45] = True
+        assert mask_bbox(m) == (30, 10, 45, 20)
+        assert mask_bbox(np.zeros((5, 5), bool)) is None
+
+
+class TestPreprocessFrame:
+    def test_end_to_end(self, rng):
+        h, w = 120, 160
+        k = NOCS_INTRINSICS.copy()
+        k[0] *= w / 640.0
+        k[1] *= h / 480.0
+        depth = np.zeros((h, w), np.float32)
+        depth[40:80, 60:110] = rng.uniform(0.8, 0.82, size=(40, 50))
+        mask = depth > 0
+        fi = preprocess_frame(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(k),
+            jax.random.key(0), res=2e-3, n_max=2048, shot_k=16,
+        )
+        count = int(fi.count)
+        assert count > 100
+        pc = np.asarray(fi.pc)
+        valid = np.asarray(fi.valid)
+        assert valid.sum() == min(count, 2048)
+        # depth preserved through backprojection
+        np.testing.assert_allclose(pc[valid][:, 2], 0.81, atol=0.02)
+        # pixels within the mask
+        pix = np.asarray(fi.pixel_yx)[valid]
+        assert pix[:, 0].min() >= 40 and pix[:, 0].max() < 80
+        assert np.all(np.isfinite(np.asarray(fi.shot)))
