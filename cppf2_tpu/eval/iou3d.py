@@ -161,3 +161,63 @@ def iou_with_symmetry(
         ry[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
         best = max(best, plain_iou(np.asarray(rt1, np.float64) @ ry, rt2))
     return best
+
+
+def pairwise_iou_matrix(
+    pred_rts: np.ndarray,     # (P, 4, 4) rotation blocks orthonormal
+    pred_scales: np.ndarray,  # (P, 3)
+    gt_rts: np.ndarray,       # (G, 4, 4)
+    gt_scales: np.ndarray,    # (G, 3)
+    gt_handle_visibility: np.ndarray,  # (G,)
+    class_name: str,
+) -> np.ndarray:
+    """All-pairs IoU with NOCS symmetry handling; uses the native core
+    (native/iou3d.cpp) when available, else the Python path."""
+    n_p, n_g = len(pred_rts), len(gt_rts)
+    out = np.zeros((n_p, n_g))
+    if n_p == 0 or n_g == 0:
+        return out
+
+    try:
+        from cppf2_tpu.native import load
+
+        lib = load()
+    except Exception:
+        lib = None
+
+    if lib is not None:
+        def norm(rts, scales):
+            rts = np.ascontiguousarray(rts, np.float64).copy()
+            scales = np.ascontiguousarray(scales, np.float64).copy()
+            det = np.linalg.det(rts[:, :3, :3])
+            rts[:, :3, :3] /= np.cbrt(det)[:, None, None]
+            return rts, scales
+
+        p_rts, p_s = norm(pred_rts, pred_scales)
+        g_rts, g_s = norm(gt_rts, gt_scales)
+        sym_cls = class_name in ("bottle", "bowl", "can")
+        if class_name == "mug":
+            groups = [(gt_handle_visibility == 0, 1), (gt_handle_visibility != 0, 0)]
+        else:
+            groups = [(np.ones(n_g, bool), 1 if sym_cls else 0)]
+        for sel, sym in groups:
+            if not sel.any():
+                continue
+            sub_g = np.ascontiguousarray(g_rts[sel])
+            sub_s = np.ascontiguousarray(g_s[sel])
+            buf = np.zeros((n_p, int(sel.sum())))
+            lib.batch_iou_sym(
+                p_rts.ctypes.data, p_s.ctypes.data, n_p,
+                sub_g.ctypes.data, sub_s.ctypes.data, int(sel.sum()),
+                int(sym), buf.ctypes.data,
+            )
+            out[:, sel] = buf
+        return out
+
+    for i in range(n_p):
+        for j in range(n_g):
+            out[i, j] = iou_with_symmetry(
+                pred_rts[i], gt_rts[j], pred_scales[i], gt_scales[j],
+                gt_handle_visibility[j], class_name, class_name,
+            )
+    return out

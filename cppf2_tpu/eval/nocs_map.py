@@ -138,13 +138,12 @@ def _work_image(args):
         )
 
         np_, ng = len(c_pred_rts), len(c_gt_rts)
-        ious = np.zeros((np_, ng))
-        for i in range(np_):
-            for j in range(ng):
-                ious[i, j] = iou_with_symmetry(
-                    c_pred_rts[i], c_gt_rts[j], c_pred_scales[i], c_gt_scales[j],
-                    c_gt_vis[j], synset_names[cls_id], synset_names[cls_id],
-                )
+        from cppf2_tpu.eval.iou3d import pairwise_iou_matrix
+
+        ious = pairwise_iou_matrix(
+            c_pred_rts, c_pred_scales, c_gt_rts, c_gt_scales, c_gt_vis,
+            synset_names[cls_id],
+        )
         iou_gt_m, iou_pred_m = _match_greedy(
             ious, np.full(np_, cls_id), np.full(ng, cls_id), iou_thres_list
         )

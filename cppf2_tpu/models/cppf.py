@@ -36,12 +36,16 @@ class TuplePredictions(NamedTuple):
 
 class _Heads(nn.Module):
     num_bins: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feat: jax.Array) -> TuplePredictions:
-        logits = ResMLP((256, 256, 6 * self.num_bins), name="logit_encoder")(feat)
-        scales = ResMLP((128, 64, 3), name="scale_encoder")(feat)
-        return TuplePredictions(logits.reshape(feat.shape[0], 6, self.num_bins), scales)
+        logits = ResMLP((256, 256, 6 * self.num_bins), dtype=self.dtype, name="logit_encoder")(feat)
+        scales = ResMLP((128, 64, 3), dtype=self.dtype, name="scale_encoder")(feat)
+        return TuplePredictions(
+            logits.reshape(feat.shape[0], 6, self.num_bins).astype(jnp.float32),
+            scales.astype(jnp.float32),
+        )
 
 
 class ShotBranch(nn.Module):
@@ -50,6 +54,7 @@ class ShotBranch(nn.Module):
     tuple_size: int = 5     # num_more + 2
     num_bins: int = 32
     shot_dim: int = 352
+    dtype: str = "float32"  # compute dtype (use bfloat16 for inference speed)
 
     @nn.compact
     def __call__(
@@ -61,7 +66,7 @@ class ShotBranch(nn.Module):
     ) -> TuplePredictions:
         k = self.tuple_size
         ii, jj = _comb_indices(k)
-        enc = ResMLP((128,) * 5 + (64,), name="shot_encoder")(shot)   # (N, 64)
+        enc = ResMLP((128,) * 5 + (64,), dtype=self.dtype, name="shot_encoder")(shot)   # (N, 64)
 
         g_pts = points[tuple_idx]        # (T, k, 3)
         g_enc = enc[tuple_idx]           # (T, k, 64)
@@ -72,8 +77,8 @@ class ShotBranch(nn.Module):
         ncos = jnp.abs(jnp.sum(g_nrm[:, ii, :] * g_nrm[:, jj, :], axis=-1))
         feats = jnp.concatenate([coord, ncos, g_enc.reshape(g_enc.shape[0], -1)], axis=-1)
 
-        feat = ResMLP((128,) * 5 + (256,), name="tuple_encoder")(feats)
-        return _Heads(self.num_bins, name="heads")(feat)
+        feat = ResMLP((128,) * 5 + (256,), dtype=self.dtype, name="tuple_encoder")(feats)
+        return _Heads(self.num_bins, dtype=self.dtype, name="heads")(feat)
 
 
 class DinoBranch(nn.Module):
@@ -83,6 +88,7 @@ class DinoBranch(nn.Module):
     num_bins: int = 32
     desc_dim: int = 1024
     proj_dim: int = 256
+    dtype: str = "float32"  # compute dtype (use bfloat16 for inference speed)
 
     @nn.compact
     def __call__(
@@ -93,14 +99,14 @@ class DinoBranch(nn.Module):
     ) -> TuplePredictions:
         k = self.tuple_size
         ii, jj = _comb_indices(k)
-        pdesc = nn.Dense(self.proj_dim, name="desc_transform")(desc)   # (N, 256)
+        pdesc = nn.Dense(self.proj_dim, dtype=self.dtype, name="desc_transform")(desc)   # (N, 256)
 
         g_pts = points[tuple_idx]
         g_desc = pdesc[tuple_idx].reshape(tuple_idx.shape[0], -1)      # (T, k*256)
-        pair_desc = nn.Dense(self.proj_dim, name="desc_pair_transform")(g_desc)
+        pair_desc = nn.Dense(self.proj_dim, dtype=self.dtype, name="desc_pair_transform")(g_desc)
 
         coord = (g_pts[:, ii, :] - g_pts[:, jj, :]).reshape(g_pts.shape[0], -1)
         feats = jnp.concatenate([coord, pair_desc], axis=-1)
 
-        feat = ResMLP((128,) * 5 + (256,), name="tuple_encoder")(feats)
-        return _Heads(self.num_bins, name="heads")(feat)
+        feat = ResMLP((128,) * 5 + (256,), dtype=self.dtype, name="tuple_encoder")(feats)
+        return _Heads(self.num_bins, dtype=self.dtype, name="heads")(feat)

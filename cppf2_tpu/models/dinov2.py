@@ -41,6 +41,8 @@ class ViTConfig:
     layerscale_init: float = 1e-5
     # position-embed grid of the pretrained checkpoint (518/14 = 37)
     pretrain_grid: int = 37
+    # compute dtype: bf16 keeps matmuls on the MXU fast path; params stay f32
+    compute_dtype: str = "bfloat16"
 
 
 VIT_L14 = ViTConfig()
@@ -55,7 +57,8 @@ class _Attention(nn.Module):
     def __call__(self, x):
         d = self.cfg.embed_dim
         h = self.cfg.num_heads
-        qkv = nn.Dense(3 * d, name="qkv")(x)
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -63,9 +66,13 @@ class _Attention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         scale = (d // h) ** -0.5
-        attn = jax.nn.softmax((q * scale) @ k.transpose(0, 2, 1), axis=-1)
+        logits = jax.lax.dot_general(
+            q * scale, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
         out = (attn @ v).transpose(1, 0, 2).reshape(x.shape[0], d)
-        return nn.Dense(d, name="proj")(out)
+        return nn.Dense(d, name="proj", dtype=dt)(out)
 
 
 class _Block(nn.Module):
@@ -80,12 +87,15 @@ class _Block(nn.Module):
         ls2 = self.param(
             "ls2", lambda k: jnp.full((c.embed_dim,), c.layerscale_init, jnp.float32)
         )
-        x = x + ls1 * _Attention(c, name="attn")(nn.LayerNorm(name="norm1")(x))
-        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), name="mlp_fc1")(
+        dt = jnp.dtype(c.compute_dtype)
+        x = x + ls1 * _Attention(c, name="attn")(
+            nn.LayerNorm(name="norm1")(x)
+        ).astype(jnp.float32)
+        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), name="mlp_fc1", dtype=dt)(
             nn.LayerNorm(name="norm2")(x)
         )
-        h = nn.Dense(c.embed_dim, name="mlp_fc2")(nn.gelu(h))
-        return x + ls2 * h
+        h = nn.Dense(c.embed_dim, name="mlp_fc2", dtype=dt)(nn.gelu(h))
+        return x + ls2 * h.astype(jnp.float32)
 
 
 class DinoViT(nn.Module):

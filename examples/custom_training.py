@@ -127,7 +127,8 @@ def run(
     rt_gt[:3, :3] = np.asarray(test.rotation)
     rt_gt[:3, 3] = np.asarray(test.translation)
     err = pose_error_degree_cm(rt_est, rt_gt, category)
-    scale_err = abs(float(est.scale_norm) - float(test.scale_norm))
+    # compare the predicted anisotropic bound against the gt bound vector
+    scale_err = float(np.abs(np.asarray(est.scale) - np.asarray(test.bound)).max())
     progress(
         f"[e2e] held-out pose error: {err[0]:.1f} deg, {err[1]:.2f} cm; "
         f"scale err {scale_err * 100:.1f} cm; loss first/last {first:.2f}/{last:.2f}"

@@ -1,0 +1,122 @@
+"""Native library tests: the C++ IoU core vs the Python implementation, and
+the mmap record store vs its writer."""
+
+import numpy as np
+import pytest
+
+from cppf2_tpu.native import load
+
+
+def rand_rot(rng):
+    from scipy.stats import special_ortho_group
+
+    return special_ortho_group.rvs(3, random_state=rng)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    l = load()
+    if l is None:
+        pytest.skip("native library unavailable (no compiler?)")
+    return l
+
+
+class TestNativeIoU:
+    def test_matches_python_exact(self, lib, rng):
+        from cppf2_tpu.eval.iou3d import Box, oriented_iou
+
+        for _ in range(10):
+            r1, r2 = rand_rot(rng), rand_rot(rng)
+            t1 = rng.uniform(-0.2, 0.2, 3)
+            t2 = rng.uniform(-0.2, 0.2, 3)
+            s1 = rng.uniform(0.5, 1.5, 3)
+            s2 = rng.uniform(0.5, 1.5, 3)
+            py = oriented_iou(Box(r1, t1, s1), Box(r2, t2, s2))
+            r1c = np.ascontiguousarray(r1)
+            r2c = np.ascontiguousarray(r2)
+            native = lib.box_iou(
+                r1c.ctypes.data, np.ascontiguousarray(t1).ctypes.data,
+                np.ascontiguousarray(s1).ctypes.data,
+                r2c.ctypes.data, np.ascontiguousarray(t2).ctypes.data,
+                np.ascontiguousarray(s2).ctypes.data,
+            )
+            assert abs(py - native) < 1e-6, (py, native)
+
+    def test_batch_matrix_matches_python(self, rng):
+        from cppf2_tpu.eval.iou3d import iou_with_symmetry, pairwise_iou_matrix
+
+        def rts(n):
+            out = np.zeros((n, 4, 4))
+            for i in range(n):
+                out[i] = np.eye(4)
+                out[i, :3, :3] = rand_rot(rng)
+                out[i, :3, 3] = rng.uniform(-0.1, 0.1, 3)
+            return out
+
+        p, g = rts(3), rts(2)
+        ps = rng.uniform(0.3, 0.6, (3, 3))
+        gs = rng.uniform(0.3, 0.6, (2, 3))
+        vis = np.array([0, 1])
+        mat = pairwise_iou_matrix(p, ps, g, gs, vis, "mug")
+        for i in range(3):
+            for j in range(2):
+                want = iou_with_symmetry(
+                    p[i].copy(), g[j].copy(), ps[i], gs[j], vis[j], "mug", "mug"
+                )
+                assert abs(mat[i, j] - want) < 1e-4, (i, j, mat[i, j], want)
+
+    def test_speed(self, lib, rng):
+        import time
+
+        from cppf2_tpu.eval.iou3d import pairwise_iou_matrix
+
+        n = 5
+        rts = np.tile(np.eye(4), (n, 1, 1))
+        for i in range(n):
+            rts[i, :3, :3] = rand_rot(rng)
+        scales = rng.uniform(0.3, 0.6, (n, 3))
+        vis = np.ones(n)
+        t0 = time.time()
+        pairwise_iou_matrix(rts, scales, rts.copy(), scales, vis, "can")
+        dt = time.time() - t0
+        # 5x5 pairs x 36 rotations in well under a second
+        assert dt < 1.0, dt
+
+
+class TestRecords:
+    def _roundtrip(self, tmp_path, rng, expect_backend):
+        from cppf2_tpu.data.records import RecordReader, RecordWriter
+
+        path = str(tmp_path / "test.rec")
+        schema = {
+            "pc": ((16, 3), np.float32),
+            "count": ((), np.int32),
+        }
+        recs = []
+        with RecordWriter(path, schema) as w:
+            for i in range(5):
+                r = {
+                    "pc": rng.normal(size=(16, 3)).astype(np.float32),
+                    "count": np.int32(i),
+                }
+                recs.append(r)
+                w.append(r)
+        rd = RecordReader(path)
+        if expect_backend:
+            assert rd.backend == expect_backend
+        assert len(rd) == 5
+        got = rd.batch([3, 0, 4])
+        np.testing.assert_array_equal(got["count"], [3, 0, 4])
+        np.testing.assert_allclose(got["pc"][0], recs[3]["pc"])
+        np.testing.assert_allclose(got["pc"][2], recs[4]["pc"])
+        rd.close()
+
+    def test_roundtrip_native(self, tmp_path, rng, lib):
+        self._roundtrip(tmp_path, rng, "native")
+
+    def test_roundtrip_python_fallback(self, tmp_path, rng, monkeypatch):
+        import cppf2_tpu.data.records as recmod
+        import cppf2_tpu.native as natmod
+
+        monkeypatch.setattr(natmod, "load", lambda: None)
+        self._roundtrip(tmp_path, rng, "python")
