@@ -30,6 +30,29 @@ from cppf2_tpu.train.checkpoints import latest_checkpoint, restore_checkpoint, s
 from cppf2_tpu.train.loop import make_train_step
 
 
+def _frame_descriptors(frame, extractor, out_size: int = 256):
+    """DINOv2 descriptors for a synthetic frame's cloud points: crop the
+    lambertian render around the depth bbox and sample patch tokens at the
+    cloud pixels (the analog of dump_data's descriptor pass,
+    dataset.py:394-402)."""
+    import jax.numpy as jnp
+
+    from cppf2_tpu.infer.frontend import mask_bbox, resize_crop
+
+    gray = np.asarray(frame.gray)
+    depth = np.asarray(frame.depth)
+    bbox = mask_bbox(depth > 0)
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    crop, transform = resize_crop(rgb, bbox=bbox, out_size=out_size)
+    kp = np.asarray(frame.pixel_yx)[:, ::-1].astype(np.float64)
+    kp_local = (
+        np.linalg.inv(transform)
+        @ np.concatenate([kp, np.ones((len(kp), 1))], -1).T
+    ).T[:, :2]
+    desc = extractor(jnp.asarray(crop), jnp.asarray(kp_local.astype(np.float32)))
+    return np.asarray(desc)
+
+
 def train_category(
     category: str,
     branch: str = "shot",
@@ -42,6 +65,7 @@ def train_category(
     log_every: int = 20,
     ckpt_every_epochs: int = 10,
     render_hw=(480, 640),
+    dino_extractor=None,
     progress=print,
 ):
     """Train one branch for one category. Returns the final TrainState.
@@ -61,43 +85,50 @@ def train_category(
         cat, n_max=n_points, height=render_hw[0], width=render_hw[1],
         seed=cfg.seed,
     )
-    model = ShotBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins) \
-        if branch == "shot" else DinoBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins)
-    if branch != "shot":
-        raise NotImplementedError(
-            "the dino branch trains on descriptor frames; use train_dino_category "
-            "with a DinoFeatureExtractor (weights required for useful features)"
-        )
+    if branch == "shot":
+        model = ShotBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins)
+        feat_keys = ("shot", "normal")
+    else:
+        model = DinoBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins)
+        feat_keys = ("desc",)
+        if dino_extractor is None:
+            # no DINOv2 checkpoint in this environment: a randomly initialized
+            # (but fixed) backbone still yields consistent train/eval features
+            from cppf2_tpu.models.dinov2 import DinoFeatureExtractor
+
+            progress("[train] no DINOv2 params given — using a fixed random backbone")
+            dino_extractor = DinoFeatureExtractor()
+            dino_extractor.init_random(hw=(256, 256), seed=cfg.seed)
+
+    keys = ("pc", "pc_canon", "bound", "count") + feat_keys
 
     def to_batch(frames):
-        return {
-            "pc": jnp.asarray(np.stack([f["pc"] for f in frames])),
-            "pc_canon": jnp.asarray(np.stack([f["pc_canon"] for f in frames])),
-            "shot": jnp.asarray(np.stack([f["shot"] for f in frames])),
-            "normal": jnp.asarray(np.stack([f["normal"] for f in frames])),
-            "bound": jnp.asarray(np.stack([f["bound"] for f in frames])),
-            "count": jnp.asarray(np.stack([f["count"] for f in frames])),
-        }
+        return {k: jnp.asarray(np.stack([f[k] for f in frames])) for k in keys}
 
     def frame_np():
         f = gen.next_frame()
-        return {
+        out = {
             "pc": np.asarray(f.pc), "pc_canon": np.asarray(f.pc_canon),
-            "shot": np.asarray(f.shot), "normal": np.asarray(f.normal),
             "bound": np.asarray(f.bound), "count": np.int32(f.count),
         }
+        if branch == "shot":
+            out["shot"] = np.asarray(f.shot)
+            out["normal"] = np.asarray(f.normal)
+        else:
+            out["desc"] = _frame_descriptors(f, dino_extractor)
+        return out
 
     progress(f"[train] filling frame pool ({frames_in_pool})...")
     pool = [frame_np() for _ in range(frames_in_pool)]
 
     i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
     f0 = pool[0]
-    state = create_train_state(
-        model,
-        (jnp.asarray(f0["pc"]), jnp.asarray(f0["shot"]), jnp.asarray(f0["normal"]), i0),
-        cfg,
-        jax.random.key(cfg.seed),
-    )
+    if branch == "shot":
+        example = (jnp.asarray(f0["pc"]), jnp.asarray(f0["shot"]),
+                   jnp.asarray(f0["normal"]), i0)
+    else:
+        example = (jnp.asarray(f0["pc"]), jnp.asarray(f0["desc"]), i0)
+    state = create_train_state(model, example, cfg, jax.random.key(cfg.seed))
     if out_dir and resume:
         last = latest_checkpoint(out_dir)
         if last:

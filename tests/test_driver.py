@@ -1,0 +1,118 @@
+"""Smoke tests for the training driver (both branches, tiny scale) and the
+converters' REAL275 output schema on synthetic PhoCAL-format input."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from cppf2_tpu.config import TrainConfig
+
+
+class TestTrainDriver:
+    def _cfg(self):
+        return TrainConfig(
+            max_epochs=1, steps_per_epoch=6, tuples_per_step=256, n_points=512,
+        )
+
+    def test_shot_branch_trains_and_checkpoints(self, tmp_path):
+        from cppf2_tpu.train.driver import train_category
+
+        msgs = []
+        state = train_category(
+            "can", "shot", self._cfg(), str(tmp_path / "ck"),
+            n_points=512, frames_in_pool=4, render_hw=(240, 320),
+            log_every=2, ckpt_every_epochs=1, progress=msgs.append,
+        )
+        assert int(state.step) == 6
+        assert os.path.exists(tmp_path / "ck" / "last")
+        assert os.path.exists(tmp_path / "ck" / "metrics.jsonl")
+        # resume continues from the checkpoint
+        state2 = train_category(
+            "can", "shot", self._cfg(), str(tmp_path / "ck"),
+            n_points=512, frames_in_pool=4, render_hw=(240, 320),
+            log_every=2, ckpt_every_epochs=1, progress=msgs.append,
+        )
+        assert int(state2.step) == 6  # already at max_epochs -> no extra steps
+
+    def test_dino_branch_trains(self, tmp_path):
+        from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, ViTConfig
+        from cppf2_tpu.train.driver import train_category
+
+        tiny = ViTConfig(embed_dim=64, depth=1, num_heads=4)
+        ex = DinoFeatureExtractor(cfg=tiny, stride=8)
+        ex.init_random(hw=(256, 256))
+        state = train_category(
+            "bowl", "dino", self._cfg(), None,
+            n_points=256, frames_in_pool=3, render_hw=(240, 320),
+            dino_extractor=ex, progress=lambda *_: None,
+        )
+        assert int(state.step) == 6
+
+
+class TestConverters:
+    def test_phocal_schema(self, tmp_path, rng):
+        import cv2
+
+        from cppf2_tpu.data.converters import convert_phocal
+
+        root = tmp_path / "PhoCAL_release"
+        seq = root / "sequence_1"
+        for sub in ("rgb", "depth", "mask"):
+            (seq / sub).mkdir(parents=True)
+        (root / "class_obj_taxonomy.json").write_text(json.dumps({
+            "0": {"class_name": "bottle", "objs": {"0": "bottle_0"},
+                   "scales": {"0": [0.08, 0.07, 0.2]}},
+        }))
+        json.dump(
+            {"rgb": {"fx": 600.0, "fy": 600.0, "cx": 320.0, "cy": 240.0,
+                      "depth_scale": 1000.0}},
+            open(seq / "scene_camera.json", "w"),
+        )
+        np.savez(seq / "train_test_split.npz", test_idxs=np.array([0]))
+        rt = {"cam_R_m2c": np.eye(3).tolist(), "cam_t_m2c": [0, 0, 0.8],
+              "class_id": 0, "inst_id": 0}
+        json.dump({"0": [rt]}, open(seq / "rgb_scene_gt.json", "w"))
+        img = np.zeros((48, 64, 3), np.uint8)
+        depth = np.full((48, 64), 800, np.uint16)
+        mask = np.ones((48, 64), np.uint8)
+        cv2.imwrite(str(seq / "rgb" / "000000.png"), img)
+        cv2.imwrite(str(seq / "depth" / "000000.png"), depth)
+        cv2.imwrite(str(seq / "mask" / "000000.png"), mask)
+
+        n = convert_phocal(str(root))
+        assert n == 1
+        out = root / "real275_fmt" / "sequence_1"
+        assert (out / "000000_color.png").exists()
+        assert (out / "camK.npy").exists()
+        res = pickle.load(open(out / "000000.pkl", "rb"))
+        assert res["gt_class_ids"] == [1]
+        rt_out = np.asarray(res["gt_RTs"][0])
+        # symmetric class: z-up -> y-up axis swap applied
+        np.testing.assert_allclose(rt_out[:3, 1], [0, 0, 1], atol=1e-9)
+        np.testing.assert_allclose(res["gt_scales"][0], [0.08, 0.2, 0.07])
+        meta = (out / "000000_meta.txt").read_text().strip().split()
+        assert meta[1] == "1"
+
+
+class TestNocsData:
+    def test_process_data(self, tmp_path):
+        from cppf2_tpu.eval.nocs_data import process_data
+
+        mask = np.full((20, 30), 255, np.uint8)
+        mask[5:10, 5:10] = 1
+        mask[12:18, 20:28] = 2
+        coord = np.zeros((20, 30, 3), np.uint8)
+        coord[5:10, 5:10] = [100, 150, 200]
+        meta = tmp_path / "meta.txt"
+        meta.write_text("1 6 mug_model\n2 4 can_model extra\n")
+        masks, coords, cls, scales = process_data(
+            mask, coord, {1: 6, 2: 4}, str(meta)
+        )
+        assert masks.shape == (20, 30, 2)
+        assert list(cls) == [6, 4]
+        assert masks[7, 7, 0] == 1 and masks[14, 25, 1] == 1
+        # z channel flipped: 1 - 200/255
+        np.testing.assert_allclose(coords[7, 7, 0, 2], 1 - 200 / 255.0, atol=1e-6)
