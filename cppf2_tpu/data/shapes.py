@@ -29,6 +29,31 @@ Mesh = Tuple[np.ndarray, np.ndarray]  # (vertices, faces)
 # OBJ loading (reference analog: trimesh.load at dataset.py:213)
 # ---------------------------------------------------------------------------
 
+def load_shapenet_split(split_path: str, category_id: int):
+    """Parse the reference's split files ('category_id synset/hash' per line,
+    data/shapenet_train.txt, dataset.py:191-192) -> list of model names."""
+    names = []
+    with open(split_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2 and int(parts[0]) == category_id:
+                names.append(parts[1])
+    return names
+
+
+def shapenet_model_path(root: str, model_name: str) -> str:
+    """ShapeNetCore.v2 normalized-model path (dataset.py:212)."""
+    synset, mesh = model_name.split("/")
+    import os
+
+    return os.path.join(root, synset, mesh, "models", "model_normalized.obj")
+
+
+def rgb2gray(rgb: np.ndarray) -> np.ndarray:
+    """Luma grayscale (reference: dataset.py:104-105)."""
+    return np.dot(rgb[..., :3], [0.2989, 0.5870, 0.1140])
+
+
 def load_obj(path: str) -> Mesh:
     """Minimal Wavefront OBJ reader: v / f records, fan-triangulates polygons."""
     verts, faces = [], []

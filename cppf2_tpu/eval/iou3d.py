@@ -55,8 +55,39 @@ class Box:
         return local @ self.rotation.T + self.translation
 
     @property
+    def vertices(self) -> np.ndarray:
+        """9-keypoint form: center + 8 corners (utils/box.py:24-36 layout)."""
+        return np.vstack([self.translation, self.corners])
+
+    @property
     def volume(self) -> float:
         return float(abs(np.prod(self.scale) * np.linalg.det(self.rotation)))
+
+    @classmethod
+    def fit(cls, vertices: np.ndarray) -> "Box":
+        """Recover (R, t, s) from 9 keypoints (center + 8 corners) by edge-
+        length scale estimation + least squares, like utils/box.py:117-149."""
+        v = np.asarray(vertices, np.float64)
+        assert v.shape == (9, 3)
+        corners = v[1:]
+        # edge quadruples along each local axis under the corner-sign layout
+        scale = np.zeros(3)
+        for axis, bit in ((0, 4), (1, 2), (2, 1)):
+            acc = 0.0
+            cnt = 0
+            for i in range(8):
+                j = i | bit
+                if i == j or (i & bit):
+                    continue
+                acc += np.linalg.norm(corners[j] - corners[i])
+                cnt += 1
+            scale[axis] = acc / cnt
+        local = np.vstack([[0.0, 0.0, 0.0], _CORNER_SIGNS * (scale / 2.0)])
+        system = np.concatenate([local, np.ones((9, 1))], axis=1)
+        solution, *_ = np.linalg.lstsq(system, v, rcond=None)
+        rotation = solution[:3].T
+        translation = solution[3]
+        return cls(rotation, translation, scale)
 
 
 def _clip_poly_axis(poly: np.ndarray, axis: int, bound: float, sign: float) -> np.ndarray:

@@ -176,3 +176,88 @@ def compute_shot_features(
     normals = estimate_normals(points, nbrs)
     desc = compute_shot(points, normals, nbrs, radius)
     return desc, normals
+
+
+# --- CSHOT (color SHOT-1344) -------------------------------------------------
+
+N_COLOR_BINS = 31           # PCL nr_color_bins=30 -> 31 slots per volume
+CSHOT_DIM = SHOT_DIM + N_AZIMUTH * N_ELEVATION * N_RADIAL * N_COLOR_BINS  # 1344
+
+
+def _rgb_to_cielab(rgb: jax.Array) -> jax.Array:
+    """sRGB [0,1] -> CIELAB (D65), vectorized (PCL RGB2CIELAB equivalent)."""
+    c = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+    m = jnp.asarray(
+        [[0.412453, 0.357580, 0.180423],
+         [0.212671, 0.715160, 0.072169],
+         [0.019334, 0.119193, 0.950227]], rgb.dtype,
+    )
+    xyz = c @ m.T
+    xyz = xyz / jnp.asarray([0.95047, 1.0, 1.08883], rgb.dtype)
+    f = jnp.where(xyz > 0.008856, jnp.cbrt(xyz), 7.787 * xyz + 16.0 / 116.0)
+    l = 116.0 * f[..., 1] - 16.0
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return jnp.stack([l, a, b], axis=-1)
+
+
+def compute_cshot(
+    points: jax.Array,
+    colors: jax.Array,     # (N, 3) RGB in [0, 1]
+    normals: jax.Array,
+    neighbors: Neighbors,
+    radius: float,
+) -> jax.Array:
+    """SHOT-1344 color variant — analog of the reference's `shot.compute_color`
+    (src_shot/shot.cpp:102-161, PCL SHOTColorEstimation): the 352-d shape
+    signature concatenated with a 32-volume x 31-bin histogram of the CIELAB
+    color distance |lab_q - lab_p| / 3 between each neighbor and the point,
+    L2-normalized jointly."""
+    shape_desc = compute_shot(points, normals, neighbors, radius)
+
+    frames = shot_lrf(points, neighbors, radius)
+    nb = points[neighbors.idx]
+    rel = nb - points[:, None, :]
+    local = jnp.einsum("nab,nkb->nka", frames, rel)
+    d = neighbors.dist
+    contrib = neighbors.valid & (d > _EPS)
+    cw = contrib.astype(points.dtype)
+
+    lab = _rgb_to_cielab(colors)
+    # normalized color distance in [0, 1] (PCL: sum |dL|,|dA|,|dB| over ranges)
+    lab_n = lab / jnp.asarray([100.0, 120.0, 120.0], points.dtype)
+    cdist = jnp.sum(
+        jnp.abs(lab_n[neighbors.idx] - lab_n[:, None, :]), axis=-1
+    ) / 3.0
+    c_cont = jnp.clip(cdist, 0.0, 1.0) * (N_COLOR_BINS - 1)
+
+    xl, yl = local[..., 0], local[..., 1]
+    zl = local[..., 2]
+    safe_d = jnp.maximum(d, _EPS)
+    azimuth = jnp.arctan2(yl, xl)
+    a_cont = (azimuth + jnp.pi) / (2.0 * jnp.pi) * N_AZIMUTH
+    e_cont = 1.0 - jnp.clip(zl / safe_d, -1.0, 1.0)
+    r_cont = jnp.clip(d / (radius / 2.0), 0.0, 2.0)
+
+    A = _soft_bins_centers_half(a_cont, N_AZIMUTH, circular=True)
+    E = _soft_bins_centers_half(e_cont, N_ELEVATION, circular=False)
+    R = _soft_bins_centers_half(r_cont, N_RADIAL, circular=False)
+    C = _soft_bins_centers_int(c_cont, N_COLOR_BINS)
+
+    w_spatial = jnp.einsum("nka,nke,nkr->nkaer", A, E, R).reshape(
+        A.shape[0], A.shape[1], N_AZIMUTH * N_ELEVATION * N_RADIAL
+    ) * cw[..., None]
+    cdesc = jnp.einsum("nkv,nkc->nvc", w_spatial, C).reshape(-1, 992)
+
+    full = jnp.concatenate([shape_desc, cdesc], axis=-1)
+    norm = jnp.linalg.norm(full, axis=-1, keepdims=True)
+    return jnp.where(norm > _EPS, full / jnp.maximum(norm, _EPS), 0.0)
+
+
+def compute_cshot_features(points, colors, valid, radius: float, k: int = 96):
+    """Drop-in analog of `shot.compute_color(pc, pc_color, normal_r, shot_r)`."""
+    from cppf2_tpu.ops.normals import estimate_normals
+
+    nbrs = knn_radius_neighbors(points, valid, radius, k)
+    normals = estimate_normals(points, nbrs)
+    return compute_cshot(points, colors, normals, nbrs, radius), normals
