@@ -70,6 +70,34 @@ def _hist_argmax_sorted(flat_ids: jax.Array, valid: jax.Array, num_bins: int):
     return s[best], run_len[best]
 
 
+def _hist16_matmul(cand: jax.Array, ok: jax.Array, lo: jax.Array, cell: jax.Array):
+    """Joint 16^3 histogram of candidate points as two one-hot matmuls.
+
+    counts[x, y*16+z] = sum_v okv * X[v, x] * YZ[v, y*16+z] — the contraction
+    rides the MXU; no sort, no scatter (both measured slow on v5e for the vote
+    volumes involved). Returns (peak cell center (3,), count at peak).
+    """
+    g = 16
+    ids3 = jnp.floor((cand - lo) / cell + 0.5).astype(jnp.int32)
+    inside = jnp.all(ids3 >= 0, -1) & jnp.all(ids3 < g, -1) & ok
+    ids3 = jnp.clip(ids3, 0, g - 1)
+    ar16 = jnp.arange(g, dtype=jnp.int32)
+    x1h = (ids3[:, 0:1] == ar16[None, :]).astype(jnp.bfloat16)
+    yz = ids3[:, 1] * g + ids3[:, 2]
+    ar256 = jnp.arange(g * g, dtype=jnp.int32)
+    yz1h = (yz[:, None] == ar256[None, :]).astype(jnp.bfloat16)
+    x1h = x1h * inside.astype(jnp.bfloat16)[:, None]
+    counts = jax.lax.dot_general(
+        x1h, yz1h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (16, 256)
+    best = jnp.argmax(counts)
+    bx = best // (g * g)
+    by = (best % (g * g)) // g
+    bz = best % g
+    center = lo + jnp.stack([bx, by, bz]).astype(cand.dtype) * cell
+    return center, counts.reshape(-1)[best]
+
+
 def vote_center(
     points: jax.Array,        # (N, 3) padded cloud
     point_valid: jax.Array,   # (N,) bool
@@ -77,33 +105,29 @@ def vote_center(
     pair_idx: jax.Array,      # (P, 2) int indices of pair endpoints
     pair_valid: jax.Array,    # (P,) bool
     res: float,
-    num_rots: int = 180,      # kept for API parity; used as coarse-stage cap
-    grid: int = 64,
-    coarse_pairs: int = 8192,
-    coarse_rots: int = 36,
-    fine_samples: int = 32,
+    num_rots: int = 180,      # kept for API parity; unused (see pyramid below)
+    grid: int = 64,           # kept for API parity; pyramid uses 16^3 levels
+    levels: int = 4,
+    samples_per_level: int = 16,
 ) -> CenterVote:
-    """Two-stage Hough vote for the object center.
+    """Pyramid Hough vote for the object center.
 
     Each pair votes for a circle of candidate centers: foot point
     c = a - u * proj_len, circle radius odist in the plane orthogonal to the
     pair direction (train_dino.py:186-197). Degenerate pairs (|ab| ~ 0 or
     odist <= res) are masked, matching train_dino.py:182.
 
-    TPU re-design vs the reference's uniform `num_rots`-angle sweep into a
-    dynamic grid:
-      1. coarse stage — a pair subsample sweeps `coarse_rots` uniform angles
-         into a fixed `grid`^3 histogram at per-axis adaptive resolution over
-         the cloud AABB, locating the peak region;
-      2. fine stage — *every* pair samples `fine_samples` angles along the arc
-         of its circle nearest the coarse peak (span ~ window/odist, i.e.
-         uniform arc-length density across pairs), voting into a `grid`^3
-         histogram at exactly `res` centered on the peak.
-    Both histograms use sort-based mode finding (no scatter). The fine result
-    carries the reference's 2 mm quantization with ~8x fewer votes than a
-    50k x 180 sweep.
+    TPU re-design vs the reference's uniform 180-angle sweep into a dynamic
+    (extent/res)^3 scatter grid: a coarse-to-fine pyramid of 16^3 joint
+    histograms, each computed as one-hot *matmuls* (MXU) over arc-localized
+    vote samples. At every level each pair samples `samples_per_level` angles
+    along the arc of its circle nearest the current window (span ~
+    window/odist -> uniform arc-length density across pairs; full circle at
+    the top level). The window shrinks 4x per level; cells clamp at `res`, so
+    the final estimate carries the reference's quantization with ~100x fewer
+    histogram-bin updates than the 50k x 180 sweep and no scatter/sort.
     """
-    del num_rots
+    del num_rots, grid
     a = points[pair_idx[:, 0]]
     b = points[pair_idx[:, 1]]
     abu, ab_len, x0, y0 = _pair_frames(a, b)
@@ -116,56 +140,35 @@ def vote_center(
     pts_lo = jnp.min(jnp.where(point_valid[:, None], points, big), axis=0)
     pts_hi = jnp.max(jnp.where(point_valid[:, None], points, -big), axis=0)
 
-    def quantize(cand, ok_mask, lo, cell):
-        ids3 = jnp.floor((cand - lo) / cell + 0.5).astype(jnp.int32)
-        inside = jnp.all(ids3 >= 0, -1) & jnp.all(ids3 < grid, -1) & ok_mask
-        ids3c = jnp.clip(ids3, 0, grid - 1)
-        flat = (ids3c[:, 0] * grid + ids3c[:, 1]) * grid + ids3c[:, 2]
-        return flat, inside
+    g = 16
+    cell = jnp.maximum((pts_hi - pts_lo) / (g - 1), res)   # per-axis
+    lo = pts_lo
+    center = (pts_lo + pts_hi) / 2.0
+    count = jnp.zeros((), jnp.float32)
+    ts = jnp.linspace(-1.0, 1.0, samples_per_level, dtype=points.dtype)
 
-    def unflatten(best, lo, cell):
-        bz = best % grid
-        by = (best // grid) % grid
-        bx = best // (grid * grid)
-        return lo + jnp.stack([bx, by, bz]).astype(points.dtype) * cell
+    for level in range(levels):
+        # arc-localized samples around the current window center
+        window_half = jnp.max(cell) * (g / 2)
+        rel = center[None, :] - c
+        u = jnp.sum(rel * x0, axis=-1)
+        v = jnp.sum(rel * y0, axis=-1)
+        theta_star = jnp.arctan2(v, u)
+        span = jnp.clip(
+            1.2 * window_half / jnp.maximum(odist, _EPS), 0.0, jnp.pi
+        )
+        theta = theta_star[:, None] + ts[None, :] * span[:, None]
+        offs = (
+            jnp.cos(theta)[..., None] * x0[:, None, :]
+            + jnp.sin(theta)[..., None] * y0[:, None, :]
+        ) * odist[:, None, None]
+        cand = (c[:, None, :] + offs).reshape(-1, 3)
+        ok_v = jnp.broadcast_to(ok[:, None], (ok.shape[0], samples_per_level)).reshape(-1)
 
-    # ---- Stage 1: coarse localization from a pair subsample.
-    n_sub = min(coarse_pairs, c.shape[0])
-    angles = jnp.arange(coarse_rots, dtype=points.dtype) / coarse_rots * 2 * jnp.pi
-    cosv, sinv = jnp.cos(angles), jnp.sin(angles)
-    offs = (
-        cosv[None, :, None] * x0[:n_sub, None, :]
-        + sinv[None, :, None] * y0[:n_sub, None, :]
-    ) * odist[:n_sub, None, None]
-    cand_c = (c[:n_sub, None, :] + offs).reshape(-1, 3)
-    ok_c = jnp.broadcast_to(ok[:n_sub, None], (n_sub, coarse_rots)).reshape(-1)
-
-    coarse_cell = jnp.maximum((pts_hi - pts_lo) / (grid - 1), res)
-    flat_c, in_c = quantize(cand_c, ok_c, pts_lo, coarse_cell)
-    best_c, _ = _hist_argmax_sorted(flat_c, in_c, grid * grid * grid)
-    peak_c = unflatten(best_c, pts_lo, coarse_cell)
-
-    # ---- Stage 2: fine vote along the arc nearest the coarse peak.
-    window_half = (grid / 2) * res
-    rel = peak_c[None, :] - c
-    u = jnp.sum(rel * x0, axis=-1)
-    v = jnp.sum(rel * y0, axis=-1)
-    theta_star = jnp.arctan2(v, u)
-    span = jnp.clip(1.2 * window_half / jnp.maximum(odist, _EPS), 0.0, jnp.pi)
-    ts = jnp.linspace(-1.0, 1.0, fine_samples, dtype=points.dtype)
-    theta = theta_star[:, None] + ts[None, :] * span[:, None]
-    offs_f = (
-        jnp.cos(theta)[..., None] * x0[:, None, :]
-        + jnp.sin(theta)[..., None] * y0[:, None, :]
-    ) * odist[:, None, None]
-    cand_f = (c[:, None, :] + offs_f).reshape(-1, 3)
-    ok_f = jnp.broadcast_to(ok[:, None], (ok.shape[0], fine_samples)).reshape(-1)
-
-    fine_cell = jnp.full((3,), res, points.dtype)
-    fine_lo = peak_c - window_half
-    flat_f, in_f = quantize(cand_f, ok_f, fine_lo, fine_cell)
-    best_f, count = _hist_argmax_sorted(flat_f, in_f, grid * grid * grid)
-    center = unflatten(best_f, fine_lo, fine_cell)
+        center, count = _hist16_matmul(cand, ok_v, lo, cell)
+        # shrink: window = peak cell +- 2 cells, resolution /4, floor at res
+        cell = jnp.maximum(cell / 4.0, res)
+        lo = center - cell * (g / 2)
     return CenterVote(center, count)
 
 
@@ -228,13 +231,16 @@ def sphere_vote(
 
     def body(acc, dw):
         d, w = dw
+        # cosine in f32 (cos(2 deg) ~ 0.9994 sits beyond bf16 resolution);
+        # the thresholded hits matrix is 0/1 — bf16 halves its HBM traffic,
+        # which dominates this stage.
         cos = jax.lax.dot_general(
             d, sphere_pts, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        hits = (cos > thresh).astype(jnp.float32)
+        hits = (cos > thresh).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
-            w[None, :], hits, (((1,), (0,)), ((), ())),
+            w[None, :].astype(jnp.bfloat16), hits, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[0]
         return acc + part, None

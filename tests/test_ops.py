@@ -158,3 +158,38 @@ class TestShot:
         frames = np.asarray(shot_lrf(jnp.asarray(pts), nbrs, 0.02))
         gram = np.einsum("nij,nkj->nik", frames, frames)
         np.testing.assert_allclose(gram, np.broadcast_to(np.eye(3), gram.shape), atol=1e-3)
+
+
+class TestPallasKernels:
+    """Interpret-mode correctness of the Pallas kernels (hardware parity +
+    timing: scripts/pallas_parity.py)."""
+
+    def test_hist16_interpret(self, rng):
+        from cppf2_tpu.ops.pallas_kernels import hist16_pallas
+
+        ids3 = rng.integers(0, 16, size=(3000, 3)).astype(np.int32)
+        ok = rng.uniform(size=3000) > 0.2
+        got = np.asarray(hist16_pallas(jnp.asarray(ids3), jnp.asarray(ok), interpret=True))
+        want = np.zeros((16, 256), np.float32)
+        for (x, y, z), o in zip(ids3, ok):
+            if o:
+                want[x, y * 16 + z] += 1
+        np.testing.assert_array_equal(got, want)
+
+    def test_sphere_interpret(self, rng):
+        from cppf2_tpu.ops.pallas_kernels import sphere_accumulate_pallas
+
+        dirs = rng.normal(size=(500, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        w = rng.uniform(size=500).astype(np.float32)
+        sph = rng.normal(size=(119, 3)).astype(np.float32)
+        sph /= np.linalg.norm(sph, axis=-1, keepdims=True)
+        got = np.asarray(
+            sphere_accumulate_pallas(
+                jnp.asarray(dirs), jnp.asarray(w), jnp.asarray(sph), 5.0,
+                interpret=True,
+            )
+        )
+        cos = dirs @ sph.T
+        want = ((cos > np.cos(np.deg2rad(10.0))) * w[:, None]).sum(0)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
