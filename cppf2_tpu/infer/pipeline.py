@@ -35,6 +35,7 @@ from cppf2_tpu.infer.alignment import align_pose
 from cppf2_tpu.ops.voting import (
     backvote_filter,
     sphere_vote,
+    sphere_vote_cone,
     vote_center,
     vote_rotation,
 )
@@ -118,13 +119,13 @@ def _pose_from_preds(
     kept_w = bv.pair_weight[ki]
     inv_w = jnp.where(kept_w > 0, 1.0 / jnp.maximum(kept_w, _EPS), 0.0)
 
-    # --- rotation votes: up axis then right axis (eval.py:277-293)
+    # --- rotation votes: up axis then right axis (eval.py:277-293), via the
+    # closed-form cone-arc accumulator (exact limit of the 180-rot sweep)
     def vote_axis(angles):
-        dirs, wm = vote_rotation(
-            points, angles[ki], kept_pairs, kept_w > 0, pipe.num_rots
+        top, _ = sphere_vote_cone(
+            points, angles[ki], kept_pairs, inv_w, sphere_pts,
+            pipe.angle_tol_deg, topk=1,
         )
-        w = jnp.repeat(inv_w, pipe.num_rots) * wm
-        top, _ = sphere_vote(dirs, w, sphere_pts, pipe.angle_tol_deg, topk=1)
         return top[0]
 
     pred_up = vote_axis(t.up_angle)

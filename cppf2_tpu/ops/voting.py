@@ -147,23 +147,30 @@ def vote_center(
     count = jnp.zeros((), jnp.float32)
     ts = jnp.linspace(-1.0, 1.0, samples_per_level, dtype=points.dtype)
 
+    n_pairs = c.shape[0]
     for level in range(levels):
+        # early levels only localize the window — a pair subsample suffices;
+        # the final two levels vote with every pair for full statistical power
+        sub = n_pairs // 4 if level < levels - 2 and n_pairs >= 4096 else n_pairs
+        c_l, x0_l, y0_l = c[:sub], x0[:sub], y0[:sub]
+        od_l, ok_l = odist[:sub], ok[:sub]
+
         # arc-localized samples around the current window center
         window_half = jnp.max(cell) * (g / 2)
-        rel = center[None, :] - c
-        u = jnp.sum(rel * x0, axis=-1)
-        v = jnp.sum(rel * y0, axis=-1)
+        rel = center[None, :] - c_l
+        u = jnp.sum(rel * x0_l, axis=-1)
+        v = jnp.sum(rel * y0_l, axis=-1)
         theta_star = jnp.arctan2(v, u)
         span = jnp.clip(
-            1.2 * window_half / jnp.maximum(odist, _EPS), 0.0, jnp.pi
+            1.2 * window_half / jnp.maximum(od_l, _EPS), 0.0, jnp.pi
         )
         theta = theta_star[:, None] + ts[None, :] * span[:, None]
         offs = (
-            jnp.cos(theta)[..., None] * x0[:, None, :]
-            + jnp.sin(theta)[..., None] * y0[:, None, :]
-        ) * odist[:, None, None]
-        cand = (c[:, None, :] + offs).reshape(-1, 3)
-        ok_v = jnp.broadcast_to(ok[:, None], (ok.shape[0], samples_per_level)).reshape(-1)
+            jnp.cos(theta)[..., None] * x0_l[:, None, :]
+            + jnp.sin(theta)[..., None] * y0_l[:, None, :]
+        ) * od_l[:, None, None]
+        cand = (c_l[:, None, :] + offs).reshape(-1, 3)
+        ok_v = jnp.broadcast_to(ok_l[:, None], (sub, samples_per_level)).reshape(-1)
 
         center, count = _hist16_matmul(cand, ok_v, lo, cell)
         # shrink: window = peak cell +- 2 cells, resolution /4, floor at res
@@ -246,6 +253,67 @@ def sphere_vote(
         return acc + part, None
 
     counts, _ = jax.lax.scan(body, jnp.zeros((sphere_pts.shape[0],), jnp.float32), (dirs_p, w_p))
+    vals, idx = jax.lax.top_k(counts, topk)
+    return sphere_pts[idx], vals
+
+
+def sphere_vote_cone(
+    points: jax.Array,
+    angle_preds: jax.Array,   # (P,) predicted angle of pair direction vs the axis
+    pair_idx: jax.Array,      # (P, 2)
+    weights: jax.Array,       # (P,) per-pair weight (0 for invalid)
+    sphere_pts: jax.Array,    # (S, 3)
+    angle_tol_deg: float,
+    topk: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form rotation voting: exact cone-arc accumulation.
+
+    The reference sweeps `num_rots` discrete directions on each pair's
+    candidate cone and counts those within 2*tol of each sphere point
+    (train_dino.py:218-239 + eval.py:37-51). In the continuum limit that
+    count is w_p * num_rots * |arc|/2pi where |arc| is the measure of cone
+    angles theta with candidate(theta) . s > cos(2*tol) — and the arc has a
+    closed form: with u(theta) ~ tan(a)(cos t x0 + sin t y0) + sign(tan a) ab,
+    |u| = 1/|cos a|, the condition is R cos(theta - phi) > rhs with
+    R = |tan a| hypot(x0.s, y0.s) and rhs = cos(2tol)/|cos a| - sign ab.s, so
+    |arc|/2pi = acos(clip(rhs/R)) / pi.
+
+    Replaces a 900k x 719 thresholded matmul (and its HBM-bound hits matrix)
+    with a (P, S) elementwise map + one matmul — ~10x faster and *exact*
+    where the reference is sampled.
+
+    Returns (top-k directions (k, 3), their scores).
+    """
+    a = points[pair_idx[:, 0]]
+    b = points[pair_idx[:, 1]]
+    abu, ab_len, x0, y0 = _pair_frames(a, b)
+    ok = (weights > 0) & (ab_len > _EPS)
+
+    tan = jnp.clip(jnp.tan(angle_preds), -1e4, 1e4)
+    abs_tan = jnp.abs(tan)
+    sign = jnp.where(tan > 0, 1.0, -1.0).astype(points.dtype)
+    inv_norm = 1.0 / jnp.sqrt(1.0 + tan * tan)        # == |cos a|
+
+    def dots(v):
+        return jax.lax.dot_general(
+            v, sphere_pts, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    xs, ys, as_ = dots(x0), dots(y0), dots(abu)        # (P, S)
+    thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
+    r_amp = abs_tan[:, None] * jnp.sqrt(xs * xs + ys * ys)
+    rhs = thresh / jnp.maximum(inv_norm, _EPS)[:, None] - sign[:, None] * as_
+    ratio = rhs / jnp.maximum(r_amp, _EPS)
+    frac = jnp.arccos(jnp.clip(ratio, -1.0, 1.0)) / jnp.pi
+    # degenerate cone (tan ~ 0): candidate is the fixed direction sign*ab
+    frac = jnp.where(r_amp[: , :] < 1e-6, (rhs < 0).astype(points.dtype), frac)
+
+    w = jnp.where(ok, weights, 0.0).astype(jnp.float32)
+    counts = jax.lax.dot_general(
+        w[None, :], frac, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
     vals, idx = jax.lax.top_k(counts, topk)
     return sphere_pts[idx], vals
 

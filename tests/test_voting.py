@@ -144,3 +144,56 @@ class TestBackvote:
         keep = np.asarray(out.keep)
         assert keep.sum() == 25
         assert not keep[100:].any()
+
+
+class TestSphereVoteCone:
+    def test_matches_sampled_accumulator(self, rng):
+        """The closed-form arc accumulation must agree with a densely sampled
+        sweep (the reference's num_rots discretization) up to sampling error."""
+        from cppf2_tpu.ops.voting import sphere_vote_cone
+
+        pc_canon, pc, R, T, pair_idx = _scene(rng, n=500, n_pairs=256)
+        up_world = (R @ np.array([0, 1, 0], np.float32)).astype(np.float32)
+        t = pair_targets(
+            jnp.asarray(pc[pair_idx[:, 0]]), jnp.asarray(pc[pair_idx[:, 1]]),
+            jnp.asarray(up_world), jnp.asarray([1.0, 0, 0]), jnp.asarray([0.0, 0, 1]),
+        )
+        sphere = jnp.asarray(fibonacci_sphere(719))
+        w = np.ones(256, np.float32)
+
+        # sampled reference (dense: 720 rots)
+        num_rots = 720
+        dirs, wm = vote_rotation(
+            jnp.asarray(pc), t.up_angle, jnp.asarray(pair_idx),
+            jnp.ones(256, bool), num_rots=num_rots,
+        )
+        wv = jnp.repeat(jnp.asarray(w), num_rots) * wm
+        top_s, counts_s = sphere_vote(dirs, wv, sphere, 1.0, topk=5)
+
+        top_c, counts_c = sphere_vote_cone(
+            jnp.asarray(pc), t.up_angle, jnp.asarray(pair_idx), jnp.asarray(w),
+            sphere, 1.0, topk=5,
+        )
+        # counts normalized: sampled counts / num_rots ~= analytic arc fraction sum
+        np.testing.assert_allclose(
+            np.asarray(counts_s) / num_rots, np.asarray(counts_c), rtol=0.05, atol=0.3,
+        )
+        # the top direction agrees
+        assert np.allclose(np.asarray(top_s[0]), np.asarray(top_c[0]), atol=1e-5)
+
+    def test_recovers_axis(self, rng):
+        from cppf2_tpu.ops.voting import sphere_vote_cone
+
+        pc_canon, pc, R, T, pair_idx = _scene(rng)
+        up_world = (R @ np.array([0, 1, 0], np.float32)).astype(np.float32)
+        t = pair_targets(
+            jnp.asarray(pc[pair_idx[:, 0]]), jnp.asarray(pc[pair_idx[:, 1]]),
+            jnp.asarray(up_world), jnp.asarray([1.0, 0, 0]), jnp.asarray([0.0, 0, 1]),
+        )
+        sphere = jnp.asarray(fibonacci_sphere(719))
+        top, _ = sphere_vote_cone(
+            jnp.asarray(pc), t.up_angle, jnp.asarray(pair_idx),
+            jnp.ones(len(pair_idx), np.float32), sphere, 1.0,
+        )
+        cos = abs(float(np.dot(np.asarray(top[0]), up_world)))
+        assert cos > np.cos(np.deg2rad(3.0))
