@@ -148,6 +148,25 @@ def oriented_iou(box1: Box, box2: Box) -> float:
     return float(min(inter / union, 1.0))
 
 
+def iou_sampling(box1: Box, box2: Box, num_samples: int = 10000, seed: int = 0) -> float:
+    """Monte-Carlo IoU estimate (utils/iou.py:38-69 `iou_sampling`)."""
+    rng = np.random.default_rng(seed)
+
+    def inside(box, pts):
+        local = (pts - box.translation) @ box.rotation
+        return np.all(np.abs(local) <= box.scale / 2 + 1e-9, axis=1)
+
+    def sample(box):
+        local = rng.uniform(-0.5, 0.5, size=(num_samples, 3)) * box.scale
+        return local @ box.rotation.T + box.translation
+
+    v1, v2 = box1.volume, box2.volume
+    inter = (v1 * inside(box2, sample(box1)).mean()
+             + v2 * inside(box1, sample(box2)).mean()) / 2.0
+    union = v1 + v2 - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
 def iou_with_symmetry(
     rt1: np.ndarray,
     rt2: np.ndarray,

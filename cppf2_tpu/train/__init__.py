@@ -1,7 +1,7 @@
 from cppf2_tpu.train.loop import (
     TrainState,
     create_train_state,
-    train_step,
+    make_train_step,
     tuple_loss,
     make_lr_schedule,
 )
@@ -9,7 +9,7 @@ from cppf2_tpu.train.loop import (
 __all__ = [
     "TrainState",
     "create_train_state",
-    "train_step",
+    "make_train_step",
     "tuple_loss",
     "make_lr_schedule",
 ]

@@ -137,7 +137,3 @@ def make_train_step(
 
     return train_step
 
-
-# Convenience re-export used by tests / drivers
-def train_step(*args, **kwargs):  # pragma: no cover - thin alias
-    raise NotImplementedError("use make_train_step(model, cfg, branch)")

@@ -1,0 +1,186 @@
+"""Synthetic-data accuracy benchmark: train -> eval -> NOCS mAP per category.
+
+Self-contained accuracy evaluation of the full framework loop without any
+external assets: for each category, train the geometric (SHOT) branch on
+procedurally rendered frames, then pose held-out frames through the *inference*
+path (depth -> cloud -> SHOT -> vote -> backvote -> rotation -> alignment) and
+score with the NOCS-protocol mAP harness (IoU@25/50, 5°5cm / 10°10cm ...).
+
+This is the in-sandbox stand-in for REAL275 parity runs (BASELINE.md path (b):
+retraining with the fully-specified recipe); with real data mounted, use
+cppf2_tpu.eval.driver instead.
+
+    python scripts/synthetic_benchmark.py --categories can bowl --steps 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf2_tpu.config import CATEGORIES, PipelineConfig, SYNSET_NAMES, TrainConfig
+from cppf2_tpu.core.geometry import fibonacci_sphere
+from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
+from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
+from cppf2_tpu.infer.frontend import preprocess_frame
+from cppf2_tpu.infer.pipeline import estimate_pose_branch
+from cppf2_tpu.models import ShotBranch
+from cppf2_tpu.train import create_train_state
+from cppf2_tpu.train.loop import make_train_step
+
+
+def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress):
+    cat = CATEGORIES[cat_name]
+    cfg = TrainConfig(tuples_per_step=tuples, n_points=n_points, seed=seed,
+                      steps_per_epoch=5000)
+    gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed)
+    t0 = time.time()
+    pool = [gen.next_frame() for _ in range(pool_frames)]
+    progress(f"[{cat_name}] rendered {pool_frames} frames in {time.time()-t0:.0f}s")
+
+    model = ShotBranch(tuple_size=cat.tuple_size)
+    f0 = pool[0]
+    i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
+    state = create_train_state(model, (f0.pc, f0.shot, f0.normal, i0), cfg,
+                               jax.random.key(seed))
+    step = make_train_step(model, cfg, branch="shot")
+
+    def to_batch(f):
+        return {"pc": f.pc[None], "pc_canon": f.pc_canon[None],
+                "shot": f.shot[None], "normal": f.normal[None],
+                "bound": f.bound[None], "count": jnp.int32(f.count)[None]}
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for i in range(steps):
+        f = pool[int(rng.integers(0, pool_frames))]
+        state, metrics = step(state, to_batch(f), jax.random.key(i))
+    progress(f"[{cat_name}] {steps} steps in {time.time()-t0:.0f}s, "
+             f"loss {float(metrics['total']):.3f}")
+    return model, state
+
+
+def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress):
+    cat = CATEGORIES[cat_name]
+    gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed + 77)
+    sphere = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
+    cls_id = cat.category_id
+
+    @jax.jit
+    def pose_frame(depth, key):
+        fi = preprocess_frame(depth, depth > 0, gen.intrinsics, key,
+                              res=cat.res, n_max=n_points, shot_k=48)
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 1))
+        u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
+        ti = jnp.floor(u * fi.count).astype(jnp.int32)
+
+        def shot_apply(params, points, tidx):
+            return model.apply(params, points, fi.shot, fi.normal, tidx)
+
+        return estimate_pose_branch(
+            shot_apply, state.params, fi.pc, fi.valid, fi.count, ti, k2,
+            cat, pipe, sphere, run_opt=True,
+        )
+
+    results = []
+    errs = []
+    t0 = time.time()
+    for i in range(n_frames):
+        f = gen.next_frame()
+        est = pose_frame(f.depth, jax.random.key(1000 + i))
+        rt = np.eye(4)
+        rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
+        rt[:3, 3] = np.asarray(est.translation)
+        scales = np.asarray(est.scale) / max(float(est.scale_norm), 1e-9)
+        gt_rt = np.eye(4)
+        gt_rt[:3, :3] = np.asarray(f.rotation)
+        gt_rt[:3, 3] = np.asarray(f.translation)
+        results.append({
+            "image_path": f"synth_{i}",
+            "gt_class_ids": np.array([cls_id]),
+            "gt_RTs": gt_rt[None],
+            "gt_scales": (np.asarray(f.bound) / float(f.scale_norm))[None],
+            "gt_handle_visibility": np.array([1]),
+            "pred_class_ids": np.array([cls_id]),
+            "pred_RTs": rt[None],
+            "pred_scales": scales[None],
+            "pred_scores": np.array([1.0]),
+        })
+        from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
+
+        e = pose_error_degree_cm(rt, gt_rt, cat_name)
+        errs.append(e)
+    errs = np.asarray(errs)
+    progress(
+        f"[{cat_name}] eval {n_frames} frames in {time.time()-t0:.0f}s: "
+        f"median {np.median(errs[:, 0]):.1f} deg / {np.median(errs[:, 1]):.2f} cm"
+    )
+    return results, errs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--categories", nargs="+", default=list(CATEGORIES))
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--frames", type=int, default=25)
+    ap.add_argument("--n-points", type=int, default=4096)
+    ap.add_argument("--tuples", type=int, default=8192)
+    ap.add_argument("--pool", type=int, default=100)
+    ap.add_argument("--num-pairs", type=int, default=20000)
+    ap.add_argument("--out", default="benchmarks/synthetic")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    pipe = PipelineConfig(n_points=args.n_points, num_pairs=args.num_pairs)
+    all_results = []
+    summary = {}
+    for cat_name in args.categories:
+        model, state = train_one(
+            cat_name, args.steps, args.n_points, args.tuples, args.pool,
+            args.seed, print,
+        )
+        results, errs = eval_one(
+            cat_name, model, state, args.frames, pipe, args.n_points,
+            args.seed, print,
+        )
+        all_results += results
+        summary[cat_name] = {
+            "median_deg": float(np.median(errs[:, 0])),
+            "median_cm": float(np.median(errs[:, 1])),
+            "deg5cm5": float(np.mean((errs[:, 0] < 5) & (errs[:, 1] < 5))),
+        }
+
+    os.makedirs(args.out, exist_ok=True)
+    iou_aps, pose_aps = compute_degree_cm_map(
+        all_results, SYNSET_NAMES, args.out,
+        degree_thresholds=(5, 10, 15), shift_thresholds=(5, 10, 15),
+        iou_3d_thresholds=tuple(np.linspace(0, 1, 101)),
+        iou_pose_thres=0.1, use_matches_for_pose=True,
+    )
+    # mean over *present* classes (the harness's index -1 averages all real
+    # classes, reference-style, which is NaN when a category wasn't run)
+    out = {
+        "per_category": summary,
+        "mean_iou25": float(np.nanmean(iou_aps[1:-1, 25])),
+        "mean_iou50": float(np.nanmean(iou_aps[1:-1, 50])),
+        "mean_5deg5cm": float(np.nanmean(pose_aps[1:-1, 0, 0])),
+        "mean_10deg10cm": float(np.nanmean(pose_aps[1:-1, 1, 1])),
+        "steps": args.steps,
+        "frames_per_cat": args.frames,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
