@@ -101,8 +101,11 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress):
         rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
         rt[:3, 3] = np.asarray(est.translation)
         scales = np.asarray(est.scale) / max(float(est.scale_norm), 1e-9)
+        # NOCS pkl convention: the scale norm is folded into the rotation block
+        # and scales are unit-normalized (the harness divides it back out via
+        # det^(1/3) — utils/util.py:2619-2634)
         gt_rt = np.eye(4)
-        gt_rt[:3, :3] = np.asarray(f.rotation)
+        gt_rt[:3, :3] = np.asarray(f.rotation) * float(f.scale_norm)
         gt_rt[:3, 3] = np.asarray(f.translation)
         results.append({
             "image_path": f"synth_{i}",
@@ -137,6 +140,8 @@ def main():
     ap.add_argument("--pool", type=int, default=100)
     ap.add_argument("--num-pairs", type=int, default=20000)
     ap.add_argument("--out", default="benchmarks/synthetic")
+    ap.add_argument("--save-ckpts", default=None,
+                    help="save trained params under {dir}/shot/{category}")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -148,6 +153,14 @@ def main():
             cat_name, args.steps, args.n_points, args.tuples, args.pool,
             args.seed, print,
         )
+        if args.save_ckpts:
+            from cppf2_tpu.train.checkpoints import save_checkpoint
+
+            path = save_checkpoint(
+                os.path.join(args.save_ckpts, "shot", cat_name),
+                jax.device_get(state),
+            )
+            print(f"[{cat_name}] saved checkpoint {path}")
         results, errs = eval_one(
             cat_name, model, state, args.frames, pipe, args.n_points,
             args.seed, print,
