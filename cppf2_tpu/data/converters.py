@@ -13,7 +13,7 @@ import glob
 import json
 import os
 import pickle
-from typing import Dict, Iterable, Optional
+from typing import Iterable, Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ schema is {pc, pc_canon, shot, normal, bound, count} (train/loop.py).
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
 from typing import Dict, List, Sequence
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ import numpy as np
 
 from cppf2_tpu.config import CategoryConfig
 from cppf2_tpu.core.downsample import voxel_downsample
-from cppf2_tpu.core.geometry import backproject_masked, map_sym, matrix_to_quat
+from cppf2_tpu.core.geometry import backproject_masked, map_sym
 from cppf2_tpu.data.render import NOCS_INTRINSICS, splat_render_depth
 from cppf2_tpu.data.shapes import make_category_mesh, sample_surface
 from cppf2_tpu.ops.shot import compute_shot_features

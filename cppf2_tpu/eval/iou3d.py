@@ -11,7 +11,6 @@ convex hull volume of the intersection points.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import numpy as np
 

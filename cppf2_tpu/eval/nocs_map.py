@@ -24,7 +24,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from cppf2_tpu.eval.iou3d import iou_with_symmetry
 from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
 
 

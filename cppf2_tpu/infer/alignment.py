@@ -14,7 +14,7 @@ rotation-symmetric categories (eval.py:333-334).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

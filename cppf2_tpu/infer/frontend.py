@@ -10,7 +10,7 @@ from (depth, mask) to the padded cloud + SHOT features the pose graph consumes
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -34,10 +34,8 @@ from cppf2_tpu.core.pairs import pair_targets
 from cppf2_tpu.infer.alignment import align_pose
 from cppf2_tpu.ops.voting import (
     backvote_filter,
-    sphere_vote,
     sphere_vote_cone,
     vote_center,
-    vote_rotation,
 )
 
 _EPS = 1e-7

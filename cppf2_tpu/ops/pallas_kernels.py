@@ -24,8 +24,6 @@ hardware where the tradeoff flips, with the parity script as the gate.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -58,8 +58,6 @@ def tuple_sharded_sphere_vote(
     """
     from jax.experimental.shard_map import shard_map
 
-    from cppf2_tpu.ops.voting import sphere_vote as _sv
-
     def local(d, w, sph):
         thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
         cos = jax.lax.dot_general(

@@ -8,9 +8,8 @@ PyTree checkpointing of flax params + optax state.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from cppf2_tpu.train.loop import TrainState

@@ -15,10 +15,8 @@ train_dino.py:99-161) with a single jitted step:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Any, Callable, Dict, NamedTuple
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
