@@ -95,3 +95,24 @@ def preprocess_frame(
     pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
     shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
     return FrameInputs(pc, ds.valid, jnp.minimum(ds.count, n_max), shot, normal, pix)
+
+
+def dilate_mask(mask: np.ndarray, size: int = 5, largest_comp: bool = False) -> np.ndarray:
+    """Convex-hull fill + morphological dilation of an instance mask
+    (reference: utils/util.py:83-101; optionally keep the largest connected
+    component first). Host-side cv2."""
+    import cv2
+
+    m = mask.astype(np.uint8)
+    if largest_comp:
+        n, labels = cv2.connectedComponents(m, connectivity=8)
+        if n > 1:
+            sizes = [(labels == i).sum() for i in range(1, n)]
+            m = (labels == (1 + int(np.argmax(sizes)))).astype(np.uint8)
+    ys, xs = np.where(m)
+    if len(xs) == 0:
+        return m.astype(bool)
+    hull = cv2.convexHull(np.stack([xs, ys], -1))
+    m = cv2.fillConvexPoly(m, hull, 1)
+    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (size, size))
+    return cv2.dilate(m, kernel).astype(bool)

@@ -68,3 +68,38 @@ class TestPreprocessFrame:
         pix = np.asarray(fi.pixel_yx)[valid]
         assert pix[:, 0].min() >= 40 and pix[:, 0].max() < 80
         assert np.all(np.isfinite(np.asarray(fi.shot)))
+
+
+class TestDilateMask:
+    def test_fills_and_grows(self):
+        from cppf2_tpu.infer.frontend import dilate_mask
+
+        m = np.zeros((40, 40), bool)
+        m[10:20, 10:12] = True
+        m[10:20, 18:20] = True  # two strips; hull fills between
+        out = dilate_mask(m, size=3)
+        assert out[15, 15]          # hull-filled interior
+        assert out.sum() > m.sum()  # dilation grew the mask
+
+    def test_largest_component(self):
+        from cppf2_tpu.infer.frontend import dilate_mask
+
+        m = np.zeros((40, 40), bool)
+        m[5:25, 5:25] = True
+        m[35:37, 35:37] = True
+        out = dilate_mask(m, size=3, largest_comp=True)
+        assert not out[35, 35]
+
+
+class TestVizOverlay:
+    def test_draw_pose_overlay(self, rng):
+        from cppf2_tpu.utils.viz import draw_pose_overlay
+
+        rgb = np.zeros((120, 160, 3), np.uint8)
+        rt = np.eye(4)
+        rt[:3, :3] *= 0.15   # scale-folded rotation, NOCS convention
+        rt[:3, 3] = [0, 0, 1.0]
+        K = np.array([[100.0, 0, 80], [0, 100.0, 60], [0, 0, 1]])
+        out = draw_pose_overlay(rgb, rt, np.array([0.6, 1.0, 0.6]), K)
+        assert out.shape == rgb.shape
+        assert out.sum() > 0  # something was drawn
