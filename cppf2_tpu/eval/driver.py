@@ -43,6 +43,34 @@ class CategoryModels:
     shot_params: dict
     dino_model: DinoBranch
     dino_params: dict
+    _pose_fns: dict = None  # (pipe, run_opt) -> jitted ensemble graph
+
+    def pose_fn(self, cat, pipe: PipelineConfig, run_opt: bool):
+        """One jitted ensemble graph per (pipe, run_opt) — the whole
+        sample->vote->align->select pipeline compiles once and is reused
+        across every instance of the category."""
+        if self._pose_fns is None:
+            self._pose_fns = {}
+        k = (pipe, run_opt)
+        if k not in self._pose_fns:
+            dino_m, shot_m = self.dino_model, self.shot_model
+
+            @jax.jit
+            def fn(dino_params, shot_params, pc, valid, count, desc, shot,
+                   normal, key):
+                def dino_apply(p, pts, ti):
+                    return dino_m.apply(p, pts, desc, ti)
+
+                def shot_apply(p, pts, ti):
+                    return shot_m.apply(p, pts, shot, normal, ti)
+
+                return estimate_pose_ensemble(
+                    dino_apply, dino_params, shot_apply, shot_params,
+                    pc, valid, count, key, cat, pipe, run_opt=run_opt,
+                )
+
+            self._pose_fns[k] = fn
+        return self._pose_fns[k]
 
 
 def load_category_models(ckpt_root: str, categories=None) -> Dict[str, CategoryModels]:
@@ -119,18 +147,9 @@ def estimate_instance(
         )
     else:
         desc = np.zeros((pipe.n_points, 1024), np.float32)
-    desc_j = jnp.asarray(desc)
-    shot_j, normal_j = fi.shot, fi.normal
-
-    def dino_apply(params, points, ti):
-        return models.dino_model.apply(params, points, desc_j, ti)
-
-    def shot_apply(params, points, ti):
-        return models.shot_model.apply(params, points, shot_j, normal_j, ti)
-
-    est = estimate_pose_ensemble(
-        dino_apply, models.dino_params, shot_apply, models.shot_params,
-        fi.pc, fi.valid, fi.count, k2, cat, pipe, run_opt=run_opt,
+    est = models.pose_fn(cat, pipe, run_opt)(
+        models.dino_params, models.shot_params,
+        fi.pc, fi.valid, fi.count, jnp.asarray(desc), fi.shot, fi.normal, k2,
     )
     rt = np.eye(4)
     rt[:3, :3] = np.asarray(est.rotation) * float(est.scale_norm)
