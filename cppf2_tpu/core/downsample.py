@@ -68,7 +68,17 @@ def voxel_downsample(
         [jnp.array([True]), sorted_keys[1:] != sorted_keys[:-1]]
     ) & (sorted_keys < sentinel)
     count = jnp.sum(first).astype(jnp.int32)
-    sel_pos = jnp.nonzero(first, size=m_max, fill_value=0)[0]
-    out_valid = jnp.arange(m_max) < count
+    # Budget overflow: when more voxels are occupied than m_max, take a
+    # *uniform random* subset — selecting the first m_max in key order would
+    # keep a spatial slab of the object (keys sort by x) and wreck downstream
+    # geometry. Random priorities + top-k give an unbiased subset.
+    prio = jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+    score = jnp.where(first, prio, -1.0)
+    if n >= m_max:
+        _, sel_pos = jax.lax.top_k(score, m_max)
+    else:
+        sel_pos = jnp.argsort(-score)
+        sel_pos = jnp.pad(sel_pos, (0, m_max - n))
+    out_valid = jnp.arange(m_max) < jnp.minimum(count, m_max)
     indices = jnp.where(out_valid, sorted_orig_idx[sel_pos], 0).astype(jnp.int32)
     return Downsampled(indices, out_valid, count)

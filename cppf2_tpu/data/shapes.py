@@ -218,7 +218,17 @@ def make_category_mesh(category: str, rng: np.random.Generator) -> Mesh:
         # lens along +x (camera canonical front is +x, config/category/camera.yaml)
         lens_v = lens_v[:, [1, 0, 2]] * np.array([1, 1, 1], np.float32)
         lens_v[:, 0] += 0.2
-        v, f = _merge(body, (lens_v.astype(np.float32), lens_f))
+        # asymmetric features so the pose is well-defined (real cameras have
+        # them; a bare box+lens is nearly 180-degree ambiguous about the lens
+        # axis): a viewfinder block on top and a grip bulge on one side
+        finder = _box(
+            (0.3, 0.14, 0.26), center=(0.1, 0.31 + 0.07, -0.02)
+        )
+        grip = _box(
+            (0.16, 0.62, rng.uniform(0.08, 0.14)),
+            center=(-0.42, 0.0, 0.2 + 0.05),
+        )
+        v, f = _merge(body, (lens_v.astype(np.float32), lens_f), finder, grip)
     else:
         raise ValueError(f"unknown category {category!r}")
     return _normalize_canonical(v), f

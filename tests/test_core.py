@@ -224,3 +224,19 @@ class TestVoxelDownsample:
             idx, ov, _ = map(np.asarray, out)
             chosen.add(int(idx[ov][0]))
         assert chosen == {0, 1}
+
+    def test_overflow_takes_unbiased_subset(self, rng):
+        # more occupied voxels than budget: the selection must span the whole
+        # extent, not a key-ordered slab (regression: laptop clouds broke)
+        pts = rng.uniform(0, 1.0, size=(20000, 3)).astype(np.float32)
+        valid = np.ones(20000, bool)
+        out = voxel_downsample(jnp.asarray(pts), jnp.asarray(valid), 0.02, 512, jax.random.key(0))
+        idx, ov, count = map(np.asarray, out)
+        assert count > 512  # genuinely overflowing
+        assert ov.sum() == 512
+        sel = pts[idx[ov]]
+        # x coverage of the selection spans nearly the full cloud
+        assert sel[:, 0].min() < 0.1 and sel[:, 0].max() > 0.9
+        # roughly uniform thirds
+        thirds = np.histogram(sel[:, 0], bins=3, range=(0, 1))[0]
+        assert thirds.min() > 512 / 3 * 0.6
