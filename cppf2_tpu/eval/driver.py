@@ -45,13 +45,14 @@ class CategoryModels:
     dino_params: dict
     _pose_fns: dict = None  # (pipe, run_opt) -> jitted ensemble graph
 
-    def pose_fn(self, cat, pipe: PipelineConfig, run_opt: bool):
-        """One jitted ensemble graph per (pipe, run_opt) — the whole
+    def pose_fn(self, cat, pipe: PipelineConfig, run_opt: bool,
+                use_visual: bool = True, use_geo: bool = True):
+        """One jitted ensemble graph per configuration — the whole
         sample->vote->align->select pipeline compiles once and is reused
         across every instance of the category."""
         if self._pose_fns is None:
             self._pose_fns = {}
-        k = (pipe, run_opt)
+        k = (pipe, run_opt, use_visual, use_geo)
         if k not in self._pose_fns:
             dino_m, shot_m = self.dino_model, self.shot_model
 
@@ -67,6 +68,7 @@ class CategoryModels:
                 return estimate_pose_ensemble(
                     dino_apply, dino_params, shot_apply, shot_params,
                     pc, valid, count, key, cat, pipe, run_opt=run_opt,
+                    use_visual=use_visual, use_geo=use_geo,
                 )
 
             self._pose_fns[k] = fn
@@ -114,10 +116,19 @@ def estimate_instance(
     key,
     dino_extractor=None,
     run_opt: bool = True,
+    use_visual: Optional[bool] = None,
+    use_geo: bool = True,
 ):
     """Pose one detected instance. Returns (RT 4x4, scales 3, loss) in the NOCS
     convention (R * |s| in the rotation block, unit-normalized scales) or None
-    for degenerate inputs (eval.py:200-201, 370-372)."""
+    for degenerate inputs (eval.py:200-201, 370-372).
+
+    `use_visual` defaults to whether a DINO extractor is available — an
+    untrained visual branch with zero descriptors shouldn't compete in the
+    ensemble (the reference's geo_branch/visual_branch flags, eval.py:62-63).
+    """
+    if use_visual is None:
+        use_visual = dino_extractor is not None
     cat = get_category(cat_name)
     k1, k2 = jax.random.split(key)
 
@@ -147,7 +158,7 @@ def estimate_instance(
         )
     else:
         desc = np.zeros((pipe.n_points, 1024), np.float32)
-    est = models.pose_fn(cat, pipe, run_opt)(
+    est = models.pose_fn(cat, pipe, run_opt, use_visual, use_geo)(
         models.dino_params, models.shot_params,
         fi.pc, fi.valid, fi.count, jnp.asarray(desc), fi.shot, fi.normal, k2,
     )

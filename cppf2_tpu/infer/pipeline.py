@@ -249,7 +249,9 @@ def estimate_pose_ensemble(
     )(logits, scales, points, point_valid, count, tuple_idx, keys)
 
     # the geo branch reuses the visual branch's scale estimate (eval.py:308-316)
-    scale = poses.scale[0]
+    # — unless the visual branch is disabled, in which case its (possibly
+    # untrained) scale head must not leak into the output
+    scale = poses.scale[0] if use_visual else poses.scale[1]
     scale_norm = jnp.linalg.norm(scale)
     losses = jax.vmap(
         functools.partial(_recon_loss, up_sym=cat.up_sym), in_axes=(None, 0, None)
