@@ -120,3 +120,33 @@ class TestRecords:
 
         monkeypatch.setattr(natmod, "load", lambda: None)
         self._roundtrip(tmp_path, rng, "python")
+
+
+class TestDumpFrames:
+    def test_synthframe_roundtrip(self, tmp_path):
+        from types import SimpleNamespace
+
+        import numpy as np
+
+        from cppf2_tpu.data.records import RecordReader, dump_frames
+
+        rng = np.random.default_rng(0)
+        frames = [
+            SimpleNamespace(
+                pc=rng.normal(size=(32, 3)).astype(np.float32),
+                pc_canon=rng.normal(size=(32, 3)).astype(np.float32),
+                shot=rng.normal(size=(32, 352)).astype(np.float32),
+                normal=rng.normal(size=(32, 3)).astype(np.float32),
+                bound=np.array([0.1, 0.2, 0.1], np.float32),
+                count=np.int32(30),
+            )
+            for _ in range(3)
+        ]
+        path = str(tmp_path / "frames.rec")
+        dump_frames(path, frames, n_points=32)
+        rd = RecordReader(path)
+        assert len(rd) == 3
+        b = rd.batch([0, 2])
+        np.testing.assert_allclose(b["pc"][1], frames[2].pc)
+        np.testing.assert_array_equal(b["count"], [30, 30])
+        rd.close()
