@@ -80,7 +80,11 @@ def load_category_models(ckpt_root: str, categories=None) -> Dict[str, CategoryM
 
     Missing checkpoints fall back to randomly initialized params (the pipeline
     still runs; accuracy requires training — BASELINE.md path (b))."""
-    from cppf2_tpu.train.checkpoints import latest_checkpoint, restore_params
+    from cppf2_tpu.train.checkpoints import (
+        latest_checkpoint,
+        load_params_msgpack,
+        restore_params,
+    )
 
     out = {}
     for name in categories or CATEGORIES:
@@ -93,10 +97,18 @@ def load_category_models(ckpt_root: str, categories=None) -> Dict[str, CategoryM
             jax.random.key(0), pc0, jnp.zeros((16, 352)), jnp.zeros((16, 3)), i0
         )
         dp = dino_m.init(jax.random.key(1), pc0, jnp.zeros((16, 1024)), i0)
-        for branch, tgt in (("shot", "sp"), ("dino", "dp")):
-            last = latest_checkpoint(os.path.join(ckpt_root, branch, name)) if ckpt_root else None
-            if last:
+        for branch in ("shot", "dino"):
+            if not ckpt_root:
+                continue
+            # prefer packed pretrained params, else the latest orbax run ckpt
+            packed = os.path.join(ckpt_root, branch, name, "params.msgpack")
+            last = latest_checkpoint(os.path.join(ckpt_root, branch, name))
+            params = None
+            if os.path.exists(packed):
+                params = load_params_msgpack(packed, sp if branch == "shot" else dp)
+            elif last:
                 params = restore_params(last)
+            if params is not None:
                 if branch == "shot":
                     sp = params
                 else:

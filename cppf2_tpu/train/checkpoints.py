@@ -48,3 +48,21 @@ def restore_params(path: str):
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
     return restored["params"]
+
+
+def export_params_msgpack(path: str, params) -> str:
+    """Serialize bare params (flax msgpack) — small, git-friendly artifacts
+    for shipping pretrained models (opt state dropped)."""
+    import flax.serialization
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+    return path
+
+
+def load_params_msgpack(path: str, template_params):
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template_params, f.read())
