@@ -260,3 +260,37 @@ def sample_surface(mesh: Mesh, n: int, rng: np.random.Generator):
     nrm = cross[pick]
     nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
     return pts.astype(np.float32), nrm.astype(np.float32)
+
+
+def load_ply(path: str) -> Mesh:
+    """Minimal ASCII PLY reader (vertex x,y,z prefix + face lists) — covers the
+    reference's example mesh (example_data/obj_000015.ply, train_custom.ipynb)."""
+    with open(path) as f:
+        assert f.readline().strip() == "ply"
+        n_vert = n_face = 0
+        vert_props = 0
+        in_vertex = False
+        for line in f:
+            line = line.strip()
+            if line.startswith("element vertex"):
+                n_vert = int(line.split()[-1])
+                in_vertex = True
+            elif line.startswith("element face"):
+                n_face = int(line.split()[-1])
+                in_vertex = False
+            elif line.startswith("property") and in_vertex:
+                vert_props += 1
+            elif line == "end_header":
+                break
+        verts = np.empty((n_vert, 3), np.float32)
+        for i in range(n_vert):
+            vals = f.readline().split()
+            verts[i] = [float(vals[0]), float(vals[1]), float(vals[2])]
+        faces = []
+        for _ in range(n_face):
+            vals = f.readline().split()
+            k = int(vals[0])
+            idx = [int(v) for v in vals[1 : 1 + k]]
+            for j in range(1, k - 1):
+                faces.append([idx[0], idx[j], idx[j + 1]])
+    return verts, np.asarray(faces, np.int32).reshape(-1, 3)

@@ -34,9 +34,17 @@ def draw_bbox_axes(img, imgpts, axes, color=(255, 0, 0), size=3):
     return img
 
 
-def draw_pose_overlay(rgb, rt, scales, intrinsics, color=(255, 0, 0)):
+def draw_pose_overlay(rgb, rt, scales, intrinsics, color=(255, 0, 0), flipped=True):
     """Overlay the estimated 9-DoF pose on an RGB frame (NOCS convention:
-    rt carries R*|s|, scales is unit-normalized)."""
+    rt carries R*|s|, scales is unit-normalized).
+
+    `flipped=True` (default) treats rt as living in the backprojected cloud
+    frame, whose x/y axes are negated relative to the camera
+    (core/geometry.py::backproject_masked) — it is unflipped before projecting.
+    """
+    if flipped:
+        f4 = np.diag([-1.0, -1.0, 1.0, 1.0])
+        rt = f4 @ np.asarray(rt, np.float64)
     img = np.ascontiguousarray(rgb.copy())
     xyz_axis = 0.3 * np.array(
         [[0, 0, 0], [0, 0, 1], [0, 1, 0], [1, 0, 0]], dtype=np.float64
