@@ -155,20 +155,34 @@ def vote_center(
         c_l, x0_l, y0_l = c[:sub], x0[:sub], y0[:sub]
         od_l, ok_l = odist[:sub], ok[:sub]
 
-        # arc-localized samples around the current window center
-        window_half = jnp.max(cell) * (g / 2)
-        rel = center[None, :] - c_l
-        u = jnp.sum(rel * x0_l, axis=-1)
-        v = jnp.sum(rel * y0_l, axis=-1)
-        theta_star = jnp.arctan2(v, u)
-        span = jnp.clip(
-            1.2 * window_half / jnp.maximum(od_l, _EPS), 0.0, jnp.pi
-        )
-        theta = theta_star[:, None] + ts[None, :] * span[:, None]
-        offs = (
-            jnp.cos(theta)[..., None] * x0_l[:, None, :]
-            + jnp.sin(theta)[..., None] * y0_l[:, None, :]
-        ) * od_l[:, None, None]
+        if level == 0:
+            # top level: the window covers the whole cloud, so the span is the
+            # full circle for essentially every pair — a shared uniform angle
+            # table replaces per-(pair, sample) transcendentals
+            ang = (
+                jnp.arange(samples_per_level, dtype=points.dtype)
+                / samples_per_level * 2 * jnp.pi
+            )
+            cosv, sinv = jnp.cos(ang), jnp.sin(ang)
+            offs = (
+                cosv[None, :, None] * x0_l[:, None, :]
+                + sinv[None, :, None] * y0_l[:, None, :]
+            ) * od_l[:, None, None]
+        else:
+            # arc-localized samples around the current window center
+            window_half = jnp.max(cell) * (g / 2)
+            rel = center[None, :] - c_l
+            u = jnp.sum(rel * x0_l, axis=-1)
+            v = jnp.sum(rel * y0_l, axis=-1)
+            theta_star = jnp.arctan2(v, u)
+            span = jnp.clip(
+                1.2 * window_half / jnp.maximum(od_l, _EPS), 0.0, jnp.pi
+            )
+            theta = theta_star[:, None] + ts[None, :] * span[:, None]
+            offs = (
+                jnp.cos(theta)[..., None] * x0_l[:, None, :]
+                + jnp.sin(theta)[..., None] * y0_l[:, None, :]
+            ) * od_l[:, None, None]
         cand = (c_l[:, None, :] + offs).reshape(-1, 3)
         ok_v = jnp.broadcast_to(ok_l[:, None], (sub, samples_per_level)).reshape(-1)
 
