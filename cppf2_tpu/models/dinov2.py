@@ -62,16 +62,10 @@ class _Attention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
-            return t.reshape(t.shape[0], h, d // h).transpose(1, 0, 2)
+            return t.reshape(1, t.shape[0], h, d // h)  # (B=1, T, heads, dim)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        scale = (d // h) ** -0.5
-        logits = jax.lax.dot_general(
-            q * scale, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
-        out = (attn @ v).transpose(1, 0, 2).reshape(x.shape[0], d)
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(x.shape[0], d)
         return nn.Dense(d, name="proj", dtype=dt)(out)
 
 
