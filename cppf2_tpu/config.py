@@ -94,12 +94,10 @@ class PipelineConfig:
     angle_tol_deg: float = 1.0    # sphere accumulator tolerance (reference: eval.py:55)
     backproj_ratio: float = 0.1   # kept fraction after backvoting (reference: eval.py:57)
     imp_wt_margin: float = 0.01   # importance weight margin (reference: eval.py:56)
-    coarse_grid: int = 64         # coarse Hough grid resolution per axis
-    fine_grid: int = 64           # fine Hough grid resolution per axis (at cfg.res)
+    fine_grid: int = 64           # legacy Hough grid knob (pyramid vote uses 16^3 levels)
     opt_steps: int = 100          # alignment optimizer iterations (reference: eval.py:327)
     opt_lr: float = 1e-2          # alignment Adam lr (reference: eval.py:325)
     neighbor_k: int = 64          # fixed neighbor budget for normals/SHOT
-    shot_neighbor_k: int = 96     # fixed neighbor budget for the SHOT descriptor
 
     @property
     def num_kept_pairs(self) -> int:

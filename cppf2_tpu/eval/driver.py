@@ -147,7 +147,7 @@ def estimate_instance(
     fi = preprocess_frame(
         jnp.asarray(depth_m.astype(np.float32)), jnp.asarray(mask),
         jnp.asarray(intrinsics.astype(np.float32)), k1,
-        res=cat.res, n_max=pipe.n_points,
+        res=cat.res, n_max=pipe.n_points, shot_k=pipe.neighbor_k,
     )
     count = int(fi.count)
     if count < 32:
