@@ -16,7 +16,6 @@ from cppf2_tpu.models.cppf import TuplePredictions
 
 PIPE = PipelineConfig(
     n_points=512, num_pairs=2048, num_rots=60, opt_steps=60,
-    coarse_grid=64, fine_grid=64,
 )
 
 
