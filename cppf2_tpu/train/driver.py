@@ -66,6 +66,7 @@ def train_category(
     ckpt_every_epochs: int = 10,
     render_hw=(480, 640),
     dino_extractor=None,
+    records: str = None,
     progress=print,
 ):
     """Train one branch for one category. Returns the final TrainState.
@@ -73,7 +74,10 @@ def train_category(
     Frame pool: rendering is host-orchestrated and slower than the train step,
     so a pool of `frames_in_pool` frames is pre-generated and refreshed
     incrementally — the analog of the reference's 100-dump-per-model replay
-    buffer (dataset.py:341-364), but regenerated online.
+    buffer (dataset.py:341-364), but regenerated online. Alternatively pass
+    `records` (a container written by data/records.py::dump_frames) to replay
+    a pre-generated dataset through the native mmap reader — the exact analog
+    of the reference's ShapeNetExportDataset.
     """
     cat = CATEGORIES[category]
     cfg = cfg or TrainConfig(n_points=n_points)
@@ -118,8 +122,20 @@ def train_category(
             out["desc"] = _frame_descriptors(f, dino_extractor)
         return out
 
-    progress(f"[train] filling frame pool ({frames_in_pool})...")
-    pool = [frame_np() for _ in range(frames_in_pool)]
+    reader = None
+    if records:
+        from cppf2_tpu.data.records import RecordReader
+
+        reader = RecordReader(records)
+        progress(f"[train] replaying {len(reader)} records from {records} "
+                 f"({reader.backend} backend)")
+        pool = [
+            {k: v[0] for k, v in reader.batch([i]).items()}
+            for i in range(min(frames_in_pool, len(reader)))
+        ]
+    else:
+        progress(f"[train] filling frame pool ({frames_in_pool})...")
+        pool = [frame_np() for _ in range(frames_in_pool)]
 
     i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
     f0 = pool[0]
@@ -151,8 +167,14 @@ def train_category(
             state, metrics = step_fn(
                 state, batch, jax.random.key(int(rng.integers(0, 2**31)))
             )
-            # refresh one pool frame per step (host render overlaps device step)
-            pool[int(rng.integers(0, len(pool)))] = frame_np()
+            # refresh one pool frame per step (host render overlaps device
+            # step; for record replay, swap in another stored record)
+            slot = int(rng.integers(0, len(pool)))
+            if reader is not None:
+                rid = int(rng.integers(0, len(reader)))
+                pool[slot] = {k: v[0] for k, v in reader.batch([rid]).items()}
+            else:
+                pool[slot] = frame_np()
             s = int(state.step)
             if s % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -177,6 +199,8 @@ def main():
     ap.add_argument("--tuples", type=int, default=10000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--records", default=None,
+                    help="replay a data/records.py container instead of rendering")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     cfg = TrainConfig(
@@ -184,7 +208,8 @@ def main():
         tuples_per_step=args.tuples, n_points=args.n_points, seed=args.seed,
     )
     out = args.out or f"ckpts/{args.branch}/{args.category}"
-    train_category(args.category, args.branch, cfg, out, n_points=args.n_points)
+    train_category(args.category, args.branch, cfg, out, n_points=args.n_points,
+                   records=args.records)
 
 
 if __name__ == "__main__":

@@ -116,3 +116,30 @@ class TestNocsData:
         assert masks[7, 7, 0] == 1 and masks[14, 25, 1] == 1
         # z channel flipped: 1 - 200/255
         np.testing.assert_allclose(coords[7, 7, 0, 2], 1 - 200 / 255.0, atol=1e-6)
+
+
+class TestRecordReplayTraining:
+    def test_trains_from_records(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from cppf2_tpu.config import CATEGORIES, TrainConfig
+        from cppf2_tpu.data.records import dump_frames
+        from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
+        from cppf2_tpu.train.driver import train_category
+
+        gen = SyntheticFrameGenerator(
+            CATEGORIES["can"], n_max=512, surface_samples=40000,
+            height=240, width=320, shot_k=16, seed=11,
+        )
+        frames = [gen.next_frame() for _ in range(3)]
+        path = str(tmp_path / "can.rec")
+        dump_frames(path, frames, n_points=512)
+
+        cfg = TrainConfig(max_epochs=1, steps_per_epoch=4, tuples_per_step=128,
+                          n_points=512)
+        state = train_category(
+            "can", "shot", cfg, None, n_points=512, frames_in_pool=3,
+            records=path, progress=lambda *_: None,
+        )
+        assert int(state.step) == 4
