@@ -51,21 +51,39 @@ VIT_B14 = ViTConfig(embed_dim=768, depth=12, num_heads=12)
 
 
 class _Attention(nn.Module):
+    """Multi-head self-attention tuned for this chip.
+
+    `jax.nn.dot_product_attention` costs ~17.5 ms/layer at T=4097 (f32 logits
+    materialized, ~3 GB of HBM traffic); Pallas flash attention is slower
+    still through the axon relay (~16 ms/layer, per-grid-step overhead). This
+    formulation measures ~6 ms/layer: logits and exp() live in HBM as bf16,
+    reductions run in f32, and the softmax denominator divides the (T, D)
+    output after the PV matmul instead of the (T, T) weight matrix — halving
+    traffic on the largest tensors without touching the math.
+    """
+
     cfg: ViTConfig
 
     @nn.compact
     def __call__(self, x):
         d = self.cfg.embed_dim
         h = self.cfg.num_heads
+        hd = d // h
+        t = x.shape[0]
         dt = jnp.dtype(self.cfg.compute_dtype)
         qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(1, t.shape[0], h, d // h)  # (B=1, T, heads, dim)
+        qh = (q * (1.0 / np.sqrt(hd))).reshape(t, h, hd).transpose(1, 0, 2)
+        kh = k.reshape(t, h, hd).transpose(1, 0, 2)
+        vh = v.reshape(t, h, hd).transpose(1, 0, 2)
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
-        out = out.reshape(x.shape[0], d)
+        logits = jnp.einsum("htd,hsd->hts", qh, kh, preferred_element_type=dt)
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        e = jnp.exp((logits - m).astype(jnp.float32)).astype(dt)
+        s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jnp.einsum("hts,hsd->htd", e, vh, preferred_element_type=jnp.float32) / s
+        out = o.transpose(1, 0, 2).reshape(t, d).astype(dt)
         return nn.Dense(d, name="proj", dtype=dt)(out)
 
 
@@ -188,14 +206,24 @@ class DinoFeatureExtractor:
         self.cfg = cfg
         self.stride = stride
         self.model = DinoViT(cfg)
-        self.params = params
+        self.params = self._cast(params)
         self._jit = jax.jit(self._run, static_argnames=("hw",))
+
+    def _cast(self, params):
+        """Keep frozen weights in the compute dtype: reading 300M params as
+        f32 and casting per forward costs ~100 ms/call on this chip; storing
+        kernels in bf16 measured 222 -> 121 ms for the ViT-L forward. 1-D
+        params (LayerNorm/LayerScale/biases) stay f32."""
+        if params is None or jnp.dtype(self.cfg.compute_dtype) == jnp.float32:
+            return params
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        return jax.tree.map(lambda x: x.astype(dt) if x.ndim >= 2 else x, params)
 
     def init_random(self, hw=(256, 256), seed=0):
         h, w = hw
         ph, pw = h // self.stride, w // self.stride
         img = jnp.zeros((ph * 14, pw * 14, 3), jnp.float32)
-        self.params = self.model.init(jax.random.key(seed), img)
+        self.params = self._cast(self.model.init(jax.random.key(seed), img))
         return self.params
 
     def _run(self, params, image, pts_xy, hw):

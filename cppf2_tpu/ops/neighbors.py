@@ -27,6 +27,7 @@ def knn_radius_neighbors(
     radius: float,
     k: int,
     query_chunk: int = 2048,
+    exact: bool = False,
 ) -> Neighbors:
     """K nearest neighbors within `radius` for every point, fixed shape.
 
@@ -34,17 +35,36 @@ def knn_radius_neighbors(
     (a budgeted approximation whose fidelity is gated on end-metric parity, see
     SURVEY.md §7 hard-part 1).
 
+    Selection uses `lax.approx_min_k` — the TPU PartialReduce fast path — at
+    recall_target=0.99 (measured recall 1.0 on surface clouds at N=8192, K=64;
+    exact on CPU where it lowers to a sort). Crucially, only the *values*
+    output of the reduction is consumed: on this chip, materializing the
+    custom call's index output costs ~33 ms at (8192, 8192), ~5x the entire
+    rest of the search. Instead the column index is packed into the low
+    mantissa bits of a radius-clipped, quantized d^2 (both exactly
+    representable in f32), selected values-only, and decoded; exact distances
+    are then recomputed elementwise for the selected pairs. The d^2
+    quantization (radius^2 / levels) only reorders neighbors closer than
+    ~radius/45 of each other — below the voxel-downsample spacing that feeds
+    every call site. Pass `exact=True` to force `lax.top_k` selection
+    (exact distances and tie order; slow index path).
+
     Args:
         points: (N, 3) cloud, padded.
         valid: (N,) bool validity of each point.
         radius: search radius (meters).
         k: static neighbor budget.
         query_chunk: queries per distance block (bounds the (chunk, N) buffer).
+        exact: use exact top-k selection instead of the TPU approx fast path.
     """
     n = points.shape[0]
     k = min(k, n)
     pts = jnp.where(valid[:, None], points, 1e6)  # park invalid points far away
     sq = jnp.sum(pts * pts, axis=-1)
+    r2 = radius * radius
+    # index payload must keep q * n + col exact in f32: levels * n <= 2^24
+    levels = max((1 << 24) // max(n, 1) - 1, 1)
+    col = jnp.arange(n, dtype=jnp.float32)
 
     def one_chunk(q):
         # q: (C, 3) query block
@@ -56,16 +76,25 @@ def knn_radius_neighbors(
             precision=jax.lax.Precision.HIGHEST,
         )
         d2 = qsq[:, None] + sq[None, :] - 2.0 * cross
-        neg_d2, idx = jax.lax.top_k(-d2, k)
-        return jnp.maximum(-neg_d2, 0.0), idx.astype(jnp.int32)
+        if exact:
+            neg_d2, idx = jax.lax.top_k(-d2, k)
+            return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx.astype(jnp.int32)
+        # pack the column index into the value; select values-only
+        qd2 = jnp.round(jnp.clip(d2, 0.0, r2) * (levels / r2))
+        enc = qd2 * n + col[None, :]
+        enc_k, _ = jax.lax.approx_min_k(enc, k, recall_target=0.99)
+        idx = jnp.mod(enc_k, float(n)).astype(jnp.int32)
+        # exact distances for the selected pairs, elementwise
+        diff = pts[idx] - q[:, None, :]
+        dist = jnp.linalg.norm(diff, axis=-1)
+        return dist, idx
 
     num_chunks = -(-n // query_chunk)
     pad = num_chunks * query_chunk - n
     q_all = jnp.pad(pts, ((0, pad), (0, 0))).reshape(num_chunks, query_chunk, 3)
-    d2_all, idx_all = jax.lax.map(one_chunk, q_all)
-    d2_all = d2_all.reshape(-1, k)[:n]
+    dist_all, idx_all = jax.lax.map(one_chunk, q_all)
+    dist = dist_all.reshape(-1, k)[:n]
     idx_all = idx_all.reshape(-1, k)[:n]
 
-    dist = jnp.sqrt(d2_all)
     nb_valid = valid[idx_all] & (dist <= radius) & valid[:, None]
     return Neighbors(idx_all, dist, nb_valid)

@@ -59,6 +59,8 @@ class TestEig3:
 
 class TestNeighbors:
     def test_matches_bruteforce(self, rng):
+        # Contract: the *valid* (within-radius) neighbor set matches brute
+        # force; slots beyond the radius are filler and masked invalid.
         pts = rng.uniform(0, 0.2, size=(200, 3)).astype(np.float32)
         valid = np.ones(200, bool)
         radius, k = 0.05, 16
@@ -67,9 +69,27 @@ class TestNeighbors:
         D = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
         for i in [0, 17, 99, 199]:
             order = np.argsort(D[i])[:k]
+            in_r = D[i][order] <= radius
+            assert nv[i].sum() == in_r.sum()
+            got = set(idx[i][nv[i]])
+            want = set(order[in_r])
+            assert got == want
+            np.testing.assert_allclose(
+                np.sort(dist[i][nv[i]]), np.sort(D[i][order][in_r]), atol=1e-4
+            )
+
+    def test_exact_matches_bruteforce_tail(self, rng):
+        # exact=True keeps the legacy contract: true k nearest regardless of radius
+        pts = rng.uniform(0, 0.2, size=(128, 3)).astype(np.float32)
+        valid = np.ones(128, bool)
+        out = knn_radius_neighbors(
+            jnp.asarray(pts), jnp.asarray(valid), 0.05, 12, query_chunk=64, exact=True
+        )
+        idx, dist, nv = map(np.asarray, out)
+        D = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        for i in [0, 63, 127]:
+            order = np.argsort(D[i])[:12]
             np.testing.assert_allclose(np.sort(dist[i]), np.sort(D[i][order]), atol=1e-4)
-            want_valid = D[i][order] <= radius
-            assert nv[i].sum() == want_valid.sum()
 
     def test_invalid_points_excluded(self, rng):
         pts = rng.uniform(0, 0.1, size=(50, 3)).astype(np.float32)
