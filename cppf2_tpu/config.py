@@ -89,12 +89,10 @@ class PipelineConfig:
 
     n_points: int = 8192          # padded point budget after voxel downsampling
     num_pairs: int = 50000        # tuple budget (reference: eval.py:58 num_pairs=50000)
-    num_rots: int = 180           # sweep angles per pair (reference: eval.py:59)
     num_bins: int = 32            # canonical coordinate bins (reference: train_shot.py:67 64*3 -> (6,32))
     angle_tol_deg: float = 1.0    # sphere accumulator tolerance (reference: eval.py:55)
     backproj_ratio: float = 0.1   # kept fraction after backvoting (reference: eval.py:57)
     imp_wt_margin: float = 0.01   # importance weight margin (reference: eval.py:56)
-    fine_grid: int = 64           # legacy Hough grid knob (pyramid vote uses 16^3 levels)
     opt_steps: int = 100          # alignment optimizer iterations (reference: eval.py:327)
     opt_lr: float = 1e-2          # alignment Adam lr (reference: eval.py:325)
     neighbor_k: int = 64          # fixed neighbor budget for normals/SHOT

@@ -102,8 +102,7 @@ def _pose_from_preds(
 
     # --- center vote
     cv = vote_center(
-        points, point_valid, t.tr, tuple_idx[:, :2], pair_valid,
-        cat.res, grid=pipe.fine_grid,
+        points, point_valid, t.tr, tuple_idx[:, :2], pair_valid, cat.res,
     )
     t_est = cv.center
 

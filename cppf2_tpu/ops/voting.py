@@ -105,8 +105,6 @@ def vote_center(
     pair_idx: jax.Array,      # (P, 2) int indices of pair endpoints
     pair_valid: jax.Array,    # (P,) bool
     res: float,
-    num_rots: int = 180,      # kept for API parity; unused (see pyramid below)
-    grid: int = 64,           # kept for API parity; pyramid uses 16^3 levels
     levels: int = 4,
     samples_per_level: int = 16,
 ) -> CenterVote:
@@ -127,7 +125,6 @@ def vote_center(
     the final estimate carries the reference's quantization with ~100x fewer
     histogram-bin updates than the 50k x 180 sweep and no scatter/sort.
     """
-    del num_rots, grid
     a = points[pair_idx[:, 0]]
     b = points[pair_idx[:, 1]]
     abu, ab_len, x0, y0 = _pair_frames(a, b)

@@ -104,7 +104,7 @@ def run(
         res=cat.res, n_max=n_points, shot_k=32,
     )
     pipe = PipelineConfig(
-        n_points=n_points, num_pairs=num_pairs, num_rots=90, opt_steps=100,
+        n_points=n_points, num_pairs=num_pairs, opt_steps=100,
     )
     sphere = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
     u = jax.random.uniform(jax.random.key(8), (pipe.num_pairs, cat.tuple_size))

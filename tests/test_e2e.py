@@ -73,7 +73,7 @@ class TestEvalDriver:
 
         det_dir, img_dir, _ = synthetic_real275
         pipe = PipelineConfig(
-            n_points=1024, num_pairs=2048, num_rots=30, opt_steps=10,
+            n_points=1024, num_pairs=2048, opt_steps=10,
             angle_tol_deg=3.0,
         )
         iou_aps, pose_aps = evaluate_real275(
@@ -108,7 +108,7 @@ class TestEvalDriver:
         depth = cv2.imread(os.path.join(img_dir, name + "_depth.png"), -1) / 1000.0
         models = load_category_models(None, ["can"])["can"]
         pipe = PipelineConfig(
-            n_points=1024, num_pairs=2048, num_rots=30, opt_steps=10,
+            n_points=1024, num_pairs=2048, opt_steps=10,
         )
         out = estimate_instance(
             rgb, depth.astype(np.float32), res["pred_masks"][:, :, 0],

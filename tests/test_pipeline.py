@@ -15,7 +15,7 @@ from cppf2_tpu.core.geometry import fibonacci_sphere
 from cppf2_tpu.models.cppf import TuplePredictions
 
 PIPE = PipelineConfig(
-    n_points=512, num_pairs=2048, num_rots=60, opt_steps=60,
+    n_points=512, num_pairs=2048, opt_steps=60,
 )
 
 

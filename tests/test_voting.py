@@ -44,7 +44,7 @@ class TestVoteCenter:
         out = vote_center(
             jnp.asarray(pc), jnp.ones(len(pc), bool), t.tr,
             jnp.asarray(pair_idx), jnp.ones(len(pair_idx), bool),
-            RES, num_rots=120,
+            RES,
         )
         err = np.linalg.norm(np.asarray(out.center) - T)
         assert err < 2.5 * RES, err
@@ -64,7 +64,7 @@ class TestVoteCenter:
         out = vote_center(
             jnp.asarray(pc_pad), jnp.asarray(valid), t.tr,
             jnp.asarray(pair_idx), jnp.ones(len(pair_idx), bool),
-            RES, num_rots=120,
+            RES,
         )
         assert np.linalg.norm(np.asarray(out.center) - T) < 2.5 * RES
 
