@@ -271,12 +271,19 @@ def compute_degree_cm_map(
         )
         if plot:
             _plot_curves(log_dir, synset_names, iou_aps, pose_aps, iou_list,
-                         degree_list, shift_list)
+                         degree_list, shift_list, use_matches_for_pose)
     return iou_aps, pose_aps
 
 
-def _plot_curves(log_dir, synset_names, iou_aps, pose_aps, iou_list, degree_list, shift_list):
-    """AP curve plots (reference: utils/util.py:2797-2930)."""
+def _plot_curves(
+    log_dir, synset_names, iou_aps, pose_aps, iou_list, degree_list, shift_list,
+    use_matches_for_pose: bool = True,
+):
+    """Full reference artifact set (utils/util.py:2797-2930): IoU AP curve +
+    pkl, per-class and mean pose-AP heatmaps over (degree, cm), AP-vs-cm and
+    AP-vs-degree curves, and the pose AP pkl."""
+    import pickle
+
     try:
         import matplotlib
 
@@ -284,14 +291,76 @@ def _plot_curves(log_dir, synset_names, iou_aps, pose_aps, iou_list, degree_list
         import matplotlib.pyplot as plt
     except Exception:
         return
-    fig = plt.figure()
-    ax = plt.subplot(111)
-    plt.ylabel("AP")
-    plt.ylim((0, 1))
-    plt.xlabel("3D IoU thresholds")
-    for cls_id in range(1, len(synset_names)):
-        ax.plot(iou_list, iou_aps[cls_id], label=synset_names[cls_id])
-    ax.plot(iou_list, iou_aps[-1], label="mean")
-    ax.legend()
-    fig.savefig(os.path.join(log_dir, "iou_3d_ap.png"))
-    plt.close(fig)
+    num_classes = len(synset_names)
+    prefix = "Pose_Only_" if use_matches_for_pose else "Pose_Detection_"
+    d_lo, d_hi = degree_list[0], degree_list[-2]
+    s_lo, s_hi = shift_list[0], shift_list[-2]
+
+    def _line_plot(path, xlabel, xs, series, ylim=(0, 1.05)):
+        fig = plt.figure()
+        ax = plt.subplot(111)
+        plt.ylabel("AP")
+        plt.ylim(ylim)
+        plt.xlabel(xlabel)
+        for label, ys in series:
+            ax.plot(xs, ys, label=label)
+        ax.legend()
+        fig.savefig(os.path.join(log_dir, path))
+        plt.close(fig)
+
+    # IoU AP curve + pkl (utils/util.py:2797-2826)
+    iou_name = f"IoU_3D_AP_{iou_list[0]}-{iou_list[-1]}"
+    _line_plot(
+        iou_name + ".png", "3D IoU thresholds", iou_list,
+        [(synset_names[c], iou_aps[c]) for c in range(1, num_classes)]
+        + [("mean", iou_aps[-1])],
+        ylim=(0, 1),
+    )
+    with open(os.path.join(log_dir, iou_name + ".pkl"), "wb") as f:
+        pickle.dump({"thres_list": list(iou_list), "aps": iou_aps}, f)
+
+    # pose AP pkl (utils/util.py:2836-2862)
+    pose_name = f"AP_{d_lo}-{d_hi}degree_{s_lo}-{s_hi}cm"
+    with open(os.path.join(log_dir, prefix + pose_name + ".pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "degree_thres": list(degree_list),
+                "shift_thres_list": list(shift_list),
+                "aps": pose_aps,
+            },
+            f,
+        )
+
+    # per-class + mean pose-AP heatmaps over (degree, cm) (utils/util.py:2860-2895)
+    def _heatmap(path, grid):
+        fig = plt.figure()
+        plt.subplot(111)
+        plt.ylabel("Rotation thresholds/degree")
+        plt.xlabel("translation/cm")
+        plt.imshow(
+            grid[::-1], cmap="jet", interpolation="bilinear",
+            extent=[s_lo, s_hi, d_lo, d_hi], aspect="auto",
+        )
+        plt.colorbar()
+        plt.savefig(os.path.join(log_dir, path))
+        plt.close(fig)
+
+    for c in range(1, num_classes):
+        _heatmap(
+            f"{prefix}AP_{synset_names[c]}_{d_lo}-{d_hi}degree_{s_lo}-{s_hi}cm.png",
+            pose_aps[c, :-1, :-1],
+        )
+    _heatmap(f"{prefix}m{pose_name}.png", pose_aps[-1, :-1, :-1])
+
+    # AP vs cm (at the 360-degree sentinel row) and AP vs degree (at the
+    # 100-cm sentinel column) (utils/util.py:2897-2930)
+    _line_plot(
+        f"{prefix}mAP_{s_lo}-{s_hi}cm.png", "translation/cm", shift_list[:-1],
+        [(synset_names[c], pose_aps[c, -1, :-1]) for c in range(1, num_classes)]
+        + [("mean", pose_aps[-1, -1, :-1])],
+    )
+    _line_plot(
+        f"{prefix}mAP_{d_lo}-{d_hi}degree.png", "Rotation/degree", degree_list[:-1],
+        [(synset_names[c], pose_aps[c, :-1, -1]) for c in range(1, num_classes)]
+        + [("mean", pose_aps[-1, :-1, -1])],
+    )

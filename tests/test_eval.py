@@ -186,3 +186,46 @@ class TestMAP:
             images, SYNSETS, iou_3d_thresholds=(0.1, 0.25), verbose=False,
         )
         assert abs(iou_aps[4, 1] - 0.5) < 0.05
+
+    def test_multiprocessing_matches_serial(self, rng):
+        images = [_perfect_image(rng) for _ in range(4)]
+        im = images[1]
+        im["pred_RTs"] = im["pred_RTs"].copy()
+        im["pred_RTs"][:, :3, 3] += np.array([0.07, 0, 0])
+        kwargs = dict(
+            synset_names=SYNSETS, iou_3d_thresholds=(0.1, 0.25, 0.5),
+            degree_thresholds=(5, 10, 15), shift_thresholds=(5, 10, 15),
+            verbose=False,
+        )
+        iou_s, pose_s = compute_degree_cm_map(images, num_proc=1, **kwargs)
+        iou_p, pose_p = compute_degree_cm_map(images, num_proc=2, **kwargs)
+        np.testing.assert_allclose(iou_p, iou_s)
+        np.testing.assert_allclose(pose_p, pose_s)
+
+    def test_plot_artifact_set(self, rng, tmp_path):
+        # full reference artifact set (utils/util.py:2797-2930)
+        images = [_perfect_image(rng) for _ in range(2)]
+        compute_degree_cm_map(
+            images, SYNSETS, log_dir=str(tmp_path),
+            iou_3d_thresholds=(0.1, 0.25, 0.5),
+            degree_thresholds=(5, 10, 15), shift_thresholds=(5, 10, 15),
+            verbose=False, plot=True,
+        )
+        import pickle
+
+        names = {p.name for p in tmp_path.iterdir()}
+        assert "aps.npz" in names
+        assert "IoU_3D_AP_0.1-0.5.png" in names
+        assert "Pose_Only_mAP_5-15cm.png" in names
+        assert "Pose_Only_mAP_5-15degree.png" in names
+        assert "Pose_Only_mAP_5-15degree_5-15cm.png" in names
+        for cls in SYNSETS[1:]:
+            assert f"Pose_Only_AP_{cls}_5-15degree_5-15cm.png" in names
+        with open(tmp_path / "IoU_3D_AP_0.1-0.5.pkl", "rb") as f:
+            iou_dict = pickle.load(f)
+        assert iou_dict["thres_list"] == [0.1, 0.25, 0.5]
+        assert iou_dict["aps"].shape == (len(SYNSETS) + 1, 3)
+        with open(tmp_path / "Pose_Only_AP_5-15degree_5-15cm.pkl", "rb") as f:
+            pose_dict = pickle.load(f)
+        assert pose_dict["degree_thres"] == [5, 10, 15, 360]
+        assert pose_dict["aps"].shape == (len(SYNSETS) + 1, 4, 4)
