@@ -238,6 +238,38 @@ def make_category_mesh(category: str, rng: np.random.Generator) -> Mesh:
 # Surface sampling
 # ---------------------------------------------------------------------------
 
+def subdivide_mesh(mesh: Mesh, max_edge: float, max_faces: int = 65536) -> Mesh:
+    """Adaptive midpoint subdivision: 4-way split only of faces whose longest
+    edge exceeds `max_edge`, until none remain (or the face budget is hit).
+    Output is a triangle soup (vertices not welded — rasterization and surface
+    sampling don't need connectivity). Used to bring coarse procedural or
+    ShapeNet faces under the raster pass's fragment-grid size."""
+    v, f = np.asarray(mesh[0], np.float32), np.asarray(mesh[1], np.int64)
+    tri = v[f]                                     # (F, 3, 3) soup
+    while True:
+        e = np.linalg.norm(tri - tri[:, [1, 2, 0]], axis=-1)
+        need = e.max(-1) > max_edge
+        n_need = int(need.sum())
+        if n_need == 0 or len(tri) + 3 * n_need > max_faces:
+            break
+        t = tri[need]
+        a, b, c = t[:, 0], t[:, 1], t[:, 2]
+        ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+        new = np.concatenate(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([ab, b, bc], 1),
+                np.stack([ca, bc, c], 1),
+                np.stack([ab, bc, ca], 1),
+            ],
+            axis=0,
+        )
+        tri = np.concatenate([tri[~need], new], axis=0)
+    verts = tri.reshape(-1, 3).astype(np.float32)
+    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+    return verts, faces
+
+
 def sample_surface(mesh: Mesh, n: int, rng: np.random.Generator):
     """Area-weighted surface samples with per-sample (unnormalized face) normals.
 

@@ -21,8 +21,15 @@ import numpy as np
 from cppf2_tpu.config import CategoryConfig
 from cppf2_tpu.core.downsample import voxel_downsample
 from cppf2_tpu.core.geometry import backproject_masked, map_sym
-from cppf2_tpu.data.render import NOCS_INTRINSICS, splat_render_depth
-from cppf2_tpu.data.shapes import make_category_mesh, sample_surface
+from cppf2_tpu.data.render import (
+    NOCS_INTRINSICS,
+    default_lighting,
+    procedural_albedo,
+    raster_render_depth,
+    sample_lighting,
+    splat_render_depth,
+)
+from cppf2_tpu.data.shapes import make_category_mesh, sample_surface, subdivide_mesh
 from cppf2_tpu.ops.shot import compute_shot_features
 
 _FLIP = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)  # backproject's x/y flip
@@ -44,14 +51,26 @@ class SynthFrame(NamedTuple):
     pixel_yx: jax.Array  # (n_max, 2) pixel of each cloud point
 
 
-@partial(jax.jit, static_argnames=("res", "n_max", "height", "width", "shot_k"))
+@partial(
+    jax.jit,
+    static_argnames=("res", "n_max", "height", "width", "shot_k", "texture"),
+)
 def _device_frame(
     samples, sample_normals, r_obj, t_obj, scale, bound_canon,
     intrinsics, res, key, n_max=8192, height=480, width=640, shot_k=64,
+    light_key=None, texture: bool = False,
 ):
+    # per-frame randomized lighting + optional value-noise albedo texture
+    # (reference: dataset.py:247-253 random lights; :394-402 textured meshes)
+    if light_key is None:
+        lighting, albedo = default_lighting(), None
+    else:
+        lk, ak = jax.random.split(light_key)
+        lighting = sample_lighting(lk)
+        albedo = procedural_albedo(samples, ak) if texture else None
     depth, gray = splat_render_depth(
         samples, sample_normals, r_obj, t_obj, scale, intrinsics,
-        height=height, width=width,
+        height=height, width=width, lighting=lighting, albedo=albedo,
     )
     pts_all, pixel_yx, valid_all = backproject_masked(
         depth, intrinsics, depth > 0
@@ -76,6 +95,60 @@ def _device_frame(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("res", "n_max", "height", "width", "shot_k", "texture"),
+)
+def _device_frame_raster(
+    verts, faces, r_obj, t_obj, scale, bound_canon,
+    intrinsics, res, key, n_max=8192, height=480, width=640, shot_k=64,
+    light_key=None, texture: bool = False,
+):
+    """Triangle-raster variant of `_device_frame` (hole-free at close range)."""
+    if light_key is None:
+        lighting, albedo_key = default_lighting(), None
+    else:
+        lk, ak = jax.random.split(light_key)
+        lighting = sample_lighting(lk)
+        albedo_key = ak if texture else None
+    depth, gray = raster_render_depth(
+        verts, faces, r_obj, t_obj, scale, intrinsics,
+        height=height, width=width, lighting=lighting, albedo_key=albedo_key,
+    )
+    pts_all, pixel_yx, valid_all = backproject_masked(
+        depth, intrinsics, depth > 0
+    )
+    ds = voxel_downsample(pts_all, valid_all, res, n_max, key)
+    pc = jnp.where(ds.valid[:, None], pts_all[ds.indices], 0.0)
+    pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
+
+    shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
+
+    flip = jnp.asarray(_FLIP)
+    rot = flip @ r_obj
+    trans = flip @ t_obj
+    bound = bound_canon * scale
+    scale_norm = jnp.max(bound)
+    pc_canon = ((pc - trans) @ rot) / scale_norm
+    pc_canon = jnp.where(ds.valid[:, None], pc_canon, 0.0)
+    return SynthFrame(
+        pc, pc_canon, shot, normal, ds.valid,
+        jnp.minimum(ds.count, n_max), bound, rot, trans, scale_norm,
+        gray, depth, pix,
+    )
+
+
+def _pad_mesh(verts: np.ndarray, faces: np.ndarray, v_mult=1024, f_mult=2048):
+    """Pad mesh buffers to shape-bucket multiples so jitted raster frames
+    compile once per bucket, not per mesh. Padded faces are (0,0,0) —
+    degenerate, culled in the raster pass."""
+    vp = -len(verts) % v_mult
+    fp = -len(faces) % f_mult
+    verts = np.pad(verts, ((0, vp), (0, 0)))
+    faces = np.pad(faces, ((0, fp), (0, 0)))
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
 @dataclasses.dataclass
 class SyntheticFrameGenerator:
     """Streams randomized synthetic frames for a category.
@@ -95,6 +168,9 @@ class SyntheticFrameGenerator:
     shot_k: int = 64
     seed: int = 0
     min_points: int = 100    # retry threshold (dataset.py:275-276)
+    randomize_lighting: bool = True   # per-frame light dir/intensity/ambient
+    texture: bool = True              # value-noise albedo (visual branch input)
+    renderer: str = "splat"           # "splat" | "raster"
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
@@ -140,19 +216,38 @@ class SyntheticFrameGenerator:
                 m = make_category_mesh(self.cat.name, self.rng)
             else:
                 m = mesh
-            samples, normals = sample_surface(m, self.surface_samples, self.rng)
             bound_canon = (m[0].max(0) - m[0].min(0)).astype(np.float32)
             r_obj, t_obj = self._draw_pose()
             scale = np.float32(self.rng.uniform(*self.cat.scale_range))
             key = jax.random.key(int(self.rng.integers(0, 2**31)))
-            frame = _device_frame(
-                jnp.asarray(samples), jnp.asarray(normals),
-                jnp.asarray(r_obj), jnp.asarray(t_obj), scale,
-                jnp.asarray(bound_canon), self.intrinsics,
-                float(self.cat.res), key,
-                n_max=self.n_max, height=self.height, width=self.width,
-                shot_k=self.shot_k,
+            light_key = (
+                jax.random.key(int(self.rng.integers(0, 2**31)))
+                if self.randomize_lighting
+                else None
             )
+            common = dict(
+                n_max=self.n_max, height=self.height, width=self.width,
+                shot_k=self.shot_k, light_key=light_key, texture=self.texture,
+            )
+            if self.renderer == "raster":
+                # subdivide coarse faces below the fragment-grid size
+                # (canonical meshes are ~unit sized: 1/48 ≈ 6 px at close range)
+                sv, sf = subdivide_mesh(m, max_edge=1.0 / 48.0)
+                verts, faces = _pad_mesh(sv, sf)
+                frame = _device_frame_raster(
+                    jnp.asarray(verts), jnp.asarray(faces),
+                    jnp.asarray(r_obj), jnp.asarray(t_obj), scale,
+                    jnp.asarray(bound_canon), self.intrinsics,
+                    float(self.cat.res), key, **common,
+                )
+            else:
+                samples, normals = sample_surface(m, self.surface_samples, self.rng)
+                frame = _device_frame(
+                    jnp.asarray(samples), jnp.asarray(normals),
+                    jnp.asarray(r_obj), jnp.asarray(t_obj), scale,
+                    jnp.asarray(bound_canon), self.intrinsics,
+                    float(self.cat.res), key, **common,
+                )
             if int(frame.count) >= self.min_points:
                 if self.cat.up_sym:
                     # canonicalize the continuous symmetry (dataset.py:265-266):

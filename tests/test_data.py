@@ -1,6 +1,7 @@
 """Tests for procedural shapes, the splat renderer, and the synthetic frame
 generator — including the round-trip invariant: generated frames' pc_canon must
 equal (pc - trans) @ rot / scale_norm and live inside the canonical half-cube."""
+import os
 
 import jax
 import jax.numpy as jnp
@@ -135,3 +136,101 @@ class TestSyntheticFrames:
         assert b["pc"].shape == (2, 1024, 3)
         assert b["shot"].shape == (2, 1024, 352)
         assert b["count"].shape == (2,)
+
+
+class TestRasterRender:
+    def _cube(self):
+        from cppf2_tpu.data.shapes import load_obj, subdivide_mesh
+
+        path = os.path.join(
+            os.path.dirname(__file__),
+            "fixtures/shapenet/02880940/abc123def/models/model_normalized.obj",
+        )
+        return subdivide_mesh(load_obj(path), 0.05)
+
+    def test_cube_exact_depth_and_coverage(self):
+        from cppf2_tpu.data.render import NOCS_INTRINSICS, raster_render_depth
+
+        v, f = self._cube()
+        R = np.eye(3, dtype=np.float32)
+        T = np.array([0, 0, 0.5], np.float32)
+        d, g = raster_render_depth(
+            jnp.asarray(v), jnp.asarray(f), jnp.asarray(R), jnp.asarray(T),
+            np.float32(0.18), jnp.asarray(NOCS_INTRINSICS),
+        )
+        d = np.asarray(d)
+        m = d > 0
+        # fronto-parallel front face at z = 0.5 - 0.09; exact depth, no holes
+        ys, xs = np.where(m)
+        w = xs.max() - xs.min() + 1
+        h = ys.max() - ys.min() + 1
+        assert m.sum() == w * h  # full coverage, zero holes
+        np.testing.assert_allclose(d[m], 0.41, atol=1e-5)
+
+    def test_lighting_changes_gray_not_depth(self):
+        from cppf2_tpu.data.render import (
+            NOCS_INTRINSICS,
+            raster_render_depth,
+            sample_lighting,
+        )
+
+        v, f = self._cube()
+        R = np.eye(3, dtype=np.float32)
+        T = np.array([0, 0, 0.5], np.float32)
+        outs = [
+            raster_render_depth(
+                jnp.asarray(v), jnp.asarray(f), jnp.asarray(R), jnp.asarray(T),
+                np.float32(0.18), jnp.asarray(NOCS_INTRINSICS),
+                lighting=sample_lighting(jax.random.key(k)),
+            )
+            for k in range(4)
+        ]
+        for d2, _ in outs[1:]:
+            np.testing.assert_allclose(np.asarray(outs[0][0]), np.asarray(d2))
+        grays = [np.asarray(g) for _, g in outs]
+        spread = max(
+            np.abs(a - b).max() for a in grays for b in grays if a is not b
+        )
+        assert spread > 0.02
+
+    def test_procedural_albedo_range_and_variation(self, rng):
+        from cppf2_tpu.data.render import procedural_albedo
+
+        pos = jnp.asarray(rng.uniform(-0.5, 0.5, (1000, 3)).astype(np.float32))
+        a1 = np.asarray(procedural_albedo(pos, jax.random.key(0)))
+        a2 = np.asarray(procedural_albedo(pos, jax.random.key(1)))
+        assert a1.min() >= 0.3 - 1e-6 and a1.max() <= 1.0 + 1e-6
+        assert a1.std() > 0.02           # actually textured
+        assert np.abs(a1 - a2).max() > 0.05  # varies with key
+
+    def test_subdivide_preserves_area_and_bounds_edges(self, rng):
+        from cppf2_tpu.data.shapes import make_category_mesh, subdivide_mesh
+
+        m = make_category_mesh("bowl", rng)
+        v, f = subdivide_mesh(m, 1.0 / 48.0)
+
+        def area(verts, faces):
+            tri = verts[faces]
+            return 0.5 * np.linalg.norm(
+                np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1
+            ).sum()
+
+        np.testing.assert_allclose(area(v, f), area(*m), rtol=1e-4)
+        tri = v[f]
+        e = np.linalg.norm(tri - tri[:, [1, 2, 0]], axis=-1)
+        assert (e.max(-1) <= 1.0 / 48.0 + 1e-6).mean() > 0.99
+
+    def test_generator_raster_frame(self):
+        from cppf2_tpu.config import CATEGORIES
+        from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
+
+        gen = SyntheticFrameGenerator(
+            CATEGORIES["bowl"], n_max=1024, height=120, width=160,
+            seed=11, renderer="raster", texture=True,
+        )
+        frame = gen.next_frame()
+        assert int(frame.count) >= gen.min_points
+        gray = np.asarray(frame.gray)
+        depth = np.asarray(frame.depth)
+        assert gray.max() <= 1.0 and gray[depth > 0].min() >= 0.0
+        assert np.isfinite(np.asarray(frame.shot)).all()
