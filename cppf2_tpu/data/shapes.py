@@ -133,15 +133,17 @@ def _merge(*meshes: Mesh) -> Mesh:
     return np.concatenate(vs), np.concatenate(fs)
 
 
-def _torus(r_major, r_minor, center, axis="x", seg=24, tube=12) -> Mesh:
-    u = np.linspace(0, np.pi, seg)  # half torus (handle)
+def _torus(
+    r_major, r_minor, center, axis="x", seg=24, tube=12, u_range=(0.0, np.pi)
+) -> Mesh:
+    u = np.linspace(u_range[0], u_range[1], seg)  # arc segment (handle)
     v = np.linspace(0, 2 * np.pi, tube, endpoint=False)
     uu, vv = np.meshgrid(u, v, indexing="ij")
     ring_x = (r_major + r_minor * np.cos(vv)) * np.cos(uu)
     ring_y = (r_major + r_minor * np.cos(vv)) * np.sin(uu)
     ring_z = r_minor * np.sin(vv)
     pts = np.stack([ring_x, ring_y, ring_z], -1)  # (seg, tube, 3)
-    if axis == "x":  # handle in the x-y plane
+    if axis == "x":
         pts = pts[..., [2, 1, 0]]
     verts = (pts.reshape(-1, 3) + np.asarray(center)).astype(np.float32)
     faces = []
@@ -163,8 +165,15 @@ def _normalize_canonical(v: np.ndarray) -> np.ndarray:
     return (v / max(float((hi - lo).max()), 1e-9)).astype(np.float32)
 
 
-def make_category_mesh(category: str, rng: np.random.Generator) -> Mesh:
-    """A randomized procedural mesh for a NOCS category, canonical frame."""
+def make_category_mesh(
+    category: str, rng: np.random.Generator, return_meta: bool = False
+):
+    """A randomized procedural mesh for a NOCS category, canonical frame.
+
+    With `return_meta=True` also returns a dict of canonical-frame semantic
+    measurements (currently: mug `handle_cut` — the cylinder radius separating
+    body from handle, used for NOCS handle-visibility gating)."""
+    meta = {}
     if category == "can":
         r = rng.uniform(0.3, 0.45)
         h = 1.0
@@ -190,14 +199,29 @@ def make_category_mesh(category: str, rng: np.random.Generator) -> Mesh:
         prof_y = np.concatenate([[outer_y[0]], outer_y, inner_y, [inner_y[-1]]])
         v, f = _revolve(prof_r, prof_y)
     elif category == "mug":
-        r = rng.uniform(0.3, 0.38)
-        h = rng.uniform(0.8, 1.0)
-        t = 0.05
-        prof_r = np.array([0.0, r, r, r - t, r - t, 0.0])
+        # varied body (taper, height, wall) + varied handle (ring radius,
+        # tube thickness, vertical placement) — mug yaw is defined solely by
+        # the handle, so handle diversity is what the rotation head must
+        # generalize over (VERDICT r1: asymmetric-category gap)
+        r = rng.uniform(0.28, 0.4)
+        h = rng.uniform(0.75, 1.05)
+        t = rng.uniform(0.04, 0.065)
+        taper = rng.uniform(0.82, 1.0)  # bottom radius fraction
+        prof_r = np.array([0.0, r * taper, r, r - t, (r - t) * taper, 0.0])
         prof_y = np.array([-h / 2, -h / 2, h / 2, h / 2, -h / 2 + t, -h / 2 + t])
         body = _revolve(prof_r, prof_y)
-        handle = _torus(h * 0.3, 0.05, center=(r + 0.02, 0.0, 0.0), axis="x")
+        ring = h * rng.uniform(0.22, 0.36)
+        tube = rng.uniform(0.04, 0.07)
+        hy = float(rng.uniform(-0.1, 0.1)) * h
+        # the handle arcs in the x-y plane: anchored at the wall, bulging to
+        # x = r + ring (round-1's handle arced in y-z and protruded only by
+        # the tube radius — an almost invisible yaw cue)
+        handle = _torus(
+            ring, tube, center=(r - tube / 2, hy, 0.0), axis=None,
+            u_range=(-np.pi / 2, np.pi / 2),
+        )
         v, f = _merge(body, handle)
+        meta["handle_cut_raw"] = r + 0.02
     elif category == "laptop":
         w = 1.0
         d = rng.uniform(0.6, 0.75)
@@ -210,28 +234,59 @@ def make_category_mesh(category: str, rng: np.random.Generator) -> Mesh:
         lid_v = lid_v @ rot.T
         v, f = _merge(base, (lid_v, lid_f))
     elif category == "camera":
-        body = _box((1.0, 0.62, 0.4), center=(0, 0, 0))
-        lens_r = rng.uniform(0.16, 0.22)
+        # randomized body/lens/finder/grip proportions (+ optional flash
+        # block) — pose is defined by these asymmetries, so they must vary
+        bw = rng.uniform(0.88, 1.0)
+        bh = rng.uniform(0.5, 0.7)
+        bd = rng.uniform(0.32, 0.48)
+        body = _box((bw, bh, bd), center=(0, 0, 0))
+        lens_r = rng.uniform(0.14, 0.24)
+        lens_len = rng.uniform(0.22, 0.38)
         prof_r = np.array([0.0, lens_r, lens_r, 0.0])
-        prof_y = np.array([0.0, 0.0, 0.3, 0.3])
+        prof_y = np.array([0.0, 0.0, lens_len, lens_len])
         lens_v, lens_f = _revolve(prof_r, prof_y, segments=32)
         # lens along +x (camera canonical front is +x, config/category/camera.yaml)
         lens_v = lens_v[:, [1, 0, 2]] * np.array([1, 1, 1], np.float32)
-        lens_v[:, 0] += 0.2
-        # asymmetric features so the pose is well-defined (real cameras have
-        # them; a bare box+lens is nearly 180-degree ambiguous about the lens
-        # axis): a viewfinder block on top and a grip bulge on one side
+        lens_v[:, 0] += bw / 2 - 0.02
+        lens_v[:, 1] += float(rng.uniform(-0.08, 0.08))
+        lens_v[:, 2] += float(rng.uniform(-0.06, 0.06))
         finder = _box(
-            (0.3, 0.14, 0.26), center=(0.1, 0.31 + 0.07, -0.02)
+            (
+                rng.uniform(0.22, 0.36),
+                rng.uniform(0.1, 0.18),
+                rng.uniform(0.18, 0.3),
+            ),
+            center=(rng.uniform(0.0, 0.2), bh / 2 + 0.07, -0.02),
         )
         grip = _box(
-            (0.16, 0.62, rng.uniform(0.08, 0.14)),
-            center=(-0.42, 0.0, 0.2 + 0.05),
+            (0.16, bh, rng.uniform(0.08, 0.16)),
+            center=(-bw / 2 + 0.08, 0.0, bd / 2 + 0.05),
         )
-        v, f = _merge(body, (lens_v.astype(np.float32), lens_f), finder, grip)
+        parts = [body, (lens_v.astype(np.float32), lens_f), finder, grip]
+        if rng.uniform() < 0.5:  # flash block on the other shoulder
+            parts.append(
+                _box(
+                    (0.14, 0.1, 0.14),
+                    center=(-rng.uniform(0.25, 0.38), bh / 2 + 0.05, 0.0),
+                )
+            )
+        v, f = _merge(*parts)
     else:
         raise ValueError(f"unknown category {category!r}")
-    return _normalize_canonical(v), f
+    lo, hi = v.min(0), v.max(0)
+    center = (lo + hi) / 2
+    max_extent = max(float((hi - lo).max()), 1e-9)
+    v_norm = _normalize_canonical(v)
+    if return_meta:
+        if "handle_cut_raw" in meta:
+            meta["handle_cut"] = meta.pop("handle_cut_raw") / max_extent
+            # revolve axis in canonical coords (bbox centering shifts it off 0)
+            meta["axis_xz"] = (
+                float(-center[0] / max_extent),
+                float(-center[2] / max_extent),
+            )
+        return (v_norm, f), meta
+    return v_norm, f
 
 
 # ---------------------------------------------------------------------------

@@ -213,9 +213,9 @@ class SyntheticFrameGenerator:
     def next_frame(self, mesh=None) -> SynthFrame:
         for _ in range(20):
             if mesh is None:
-                m = make_category_mesh(self.cat.name, self.rng)
+                m, meta = make_category_mesh(self.cat.name, self.rng, return_meta=True)
             else:
-                m = mesh
+                m, meta = mesh, {}
             bound_canon = (m[0].max(0) - m[0].min(0)).astype(np.float32)
             r_obj, t_obj = self._draw_pose()
             scale = np.float32(self.rng.uniform(*self.cat.scale_range))
@@ -264,6 +264,18 @@ class SyntheticFrameGenerator:
                     ).astype(np.float32)
                     frame = frame._replace(
                         rotation=jnp.asarray(rot_c), pc_canon=jnp.asarray(pc_canon)
+                    )
+                # NOCS handle-visibility flag (mug): does the rendered cloud
+                # contain handle points? (eval gates yaw on this — the
+                # protocol's gt_handle_visibility, utils/util.py:588-663)
+                self.last_meta = meta
+                self.last_handle_visible = 1
+                if "handle_cut" in meta:
+                    pcc = np.asarray(frame.pc_canon)[np.asarray(frame.valid)]
+                    ax, az = meta["axis_xz"]
+                    cyl = np.hypot(pcc[:, 0] - ax, pcc[:, 2] - az)
+                    self.last_handle_visible = int(
+                        (cyl > meta["handle_cut"]).sum() >= 15
                     )
                 return frame
         raise RuntimeError("could not render a frame with enough points")

@@ -38,7 +38,8 @@ from cppf2_tpu.train import create_train_state
 from cppf2_tpu.train.loop import make_train_step
 
 
-def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress):
+def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress,
+              refresh_every=0):
     cat = CATEGORIES[cat_name]
     cfg = TrainConfig(tuples_per_step=tuples, n_points=n_points, seed=seed,
                       steps_per_epoch=5000)
@@ -62,6 +63,10 @@ def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress):
     rng = np.random.default_rng(seed)
     t0 = time.time()
     for i in range(steps):
+        if refresh_every and i % refresh_every == 0:
+            # stream fresh frames through the pool (avoids the pool-overfit
+            # cliff found in round 1 on asymmetric categories)
+            pool[int(rng.integers(0, pool_frames))] = gen.next_frame()
         f = pool[int(rng.integers(0, pool_frames))]
         state, metrics = step(state, to_batch(f), jax.random.key(i))
     progress(f"[{cat_name}] {steps} steps in {time.time()-t0:.0f}s, "
@@ -96,6 +101,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress):
     t0 = time.time()
     for i in range(n_frames):
         f = gen.next_frame()
+        handle_vis = getattr(gen, "last_handle_visible", 1)
         est = pose_frame(f.depth, jax.random.key(1000 + i))
         rt = np.eye(4)
         rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
@@ -112,7 +118,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress):
             "gt_class_ids": np.array([cls_id]),
             "gt_RTs": gt_rt[None],
             "gt_scales": (np.asarray(f.bound) / float(f.scale_norm))[None],
-            "gt_handle_visibility": np.array([1]),
+            "gt_handle_visibility": np.array([handle_vis]),
             "pred_class_ids": np.array([cls_id]),
             "pred_RTs": rt[None],
             "pred_scales": scales[None],
@@ -120,7 +126,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress):
         })
         from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
 
-        e = pose_error_degree_cm(rt, gt_rt, cat_name)
+        e = pose_error_degree_cm(rt, gt_rt, cat_name, handle_visibility=handle_vis)
         errs.append(e)
     errs = np.asarray(errs)
     progress(
@@ -138,6 +144,8 @@ def main():
     ap.add_argument("--n-points", type=int, default=4096)
     ap.add_argument("--tuples", type=int, default=8192)
     ap.add_argument("--pool", type=int, default=100)
+    ap.add_argument("--refresh-every", type=int, default=0,
+                    help="replace one pool frame every N steps (0 = static pool)")
     ap.add_argument("--num-pairs", type=int, default=20000)
     ap.add_argument("--out", default="benchmarks/synthetic")
     ap.add_argument("--save-ckpts", default=None,
@@ -151,7 +159,7 @@ def main():
     for cat_name in args.categories:
         model, state = train_one(
             cat_name, args.steps, args.n_points, args.tuples, args.pool,
-            args.seed, print,
+            args.seed, print, refresh_every=args.refresh_every,
         )
         if args.save_ckpts:
             from cppf2_tpu.train.checkpoints import save_checkpoint
