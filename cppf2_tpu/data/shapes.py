@@ -336,8 +336,12 @@ def sample_surface(mesh: Mesh, n: int, rng: np.random.Generator):
     e2 = tri[:, 2] - tri[:, 0]
     cross = np.cross(e1, e2)
     area = 0.5 * np.linalg.norm(cross, axis=-1)
-    prob = area / max(area.sum(), 1e-12)
-    pick = rng.choice(len(f), size=n, p=prob)
+    # inverse-CDF sampling (rng.choice with p rebuilds its table per call —
+    # ~1 s at 250k draws; cumsum+searchsorted is ~10 ms)
+    cdf = np.cumsum(area)
+    cdf /= max(cdf[-1], 1e-12)
+    pick = np.searchsorted(cdf, rng.uniform(size=n), side="right")
+    pick = np.minimum(pick, len(f) - 1)
     u = rng.uniform(size=(n, 1))
     w = rng.uniform(size=(n, 1))
     flip = (u + w) > 1

@@ -248,19 +248,22 @@ class SyntheticFrameGenerator:
                     jnp.asarray(bound_canon), self.intrinsics,
                     float(self.cat.res), key, **common,
                 )
-            if int(frame.count) >= self.min_points:
+            # ONE host roundtrip per attempt: each np.asarray/int() through
+            # the axon relay costs ~80 ms; batch everything we need
+            count, pc, pc_canon, valid, rot, trans, scale_norm = jax.device_get(
+                (frame.count, frame.pc, frame.pc_canon, frame.valid,
+                 frame.rotation, frame.translation, frame.scale_norm)
+            )
+            if int(count) >= self.min_points:
                 if self.cat.up_sym:
                     # canonicalize the continuous symmetry (dataset.py:265-266):
                     # rot' = map_sym(rot^T, up)^T and re-derive pc_canon
-                    rot = np.asarray(frame.rotation)
-                    rot_c = np.asarray(map_sym(jnp.asarray(rot.T), self.cat.up_axis_index)).T
-                    pc_canon = (
-                        (np.asarray(frame.pc) - np.asarray(frame.translation))
-                        @ rot_c
-                        / float(frame.scale_norm)
-                    )
+                    rot_c = np.asarray(
+                        map_sym(jnp.asarray(rot.T), self.cat.up_axis_index)
+                    ).T
+                    pc_canon = ((pc - trans) @ rot_c / float(scale_norm))
                     pc_canon = np.where(
-                        np.asarray(frame.valid)[:, None], pc_canon, 0.0
+                        valid[:, None], pc_canon, 0.0
                     ).astype(np.float32)
                     frame = frame._replace(
                         rotation=jnp.asarray(rot_c), pc_canon=jnp.asarray(pc_canon)
@@ -271,7 +274,7 @@ class SyntheticFrameGenerator:
                 self.last_meta = meta
                 self.last_handle_visible = 1
                 if "handle_cut" in meta:
-                    pcc = np.asarray(frame.pc_canon)[np.asarray(frame.valid)]
+                    pcc = pc_canon[valid]
                     ax, az = meta["axis_xz"]
                     cyl = np.hypot(pcc[:, 0] - ax, pcc[:, 2] - az)
                     self.last_handle_visible = int(

@@ -33,32 +33,72 @@ from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
 from cppf2_tpu.infer.frontend import preprocess_frame
 from cppf2_tpu.infer.pipeline import estimate_pose_branch
-from cppf2_tpu.models import ShotBranch
+from cppf2_tpu.models import DinoBranch, ShotBranch
 from cppf2_tpu.train import create_train_state
 from cppf2_tpu.train.loop import make_train_step
 
 
+def _make_extractor(seed):
+    from cppf2_tpu.models.dinov2 import DinoFeatureExtractor
+
+    ext = DinoFeatureExtractor()
+    ext.init_random(hw=(256, 256), seed=seed)
+    return ext
+
+
+class _FramePool:
+    """Frames (+ visual descriptors for the dino branch) with streaming
+    refresh. The dino branch trains on textured/lit renders through the ViT
+    extractor — the end-to-end visual path (train/driver.py analog)."""
+
+    def __init__(self, gen, size, branch, extractor=None):
+        self.gen, self.branch, self.ext = gen, branch, extractor
+        self.frames = [self._one() for _ in range(size)]
+
+    def _one(self):
+        f = self.gen.next_frame()
+        if self.branch == "dino":
+            from cppf2_tpu.train.driver import _frame_descriptors
+
+            return f, jnp.asarray(_frame_descriptors(f, self.ext))
+        return f, None
+
+    def refresh_one(self, rng):
+        self.frames[int(rng.integers(0, len(self.frames)))] = self._one()
+
+    def sample(self, rng):
+        return self.frames[int(rng.integers(0, len(self.frames)))]
+
+
 def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress,
-              refresh_every=0):
+              refresh_every=0, branch="shot", extractor=None):
     cat = CATEGORIES[cat_name]
     cfg = TrainConfig(tuples_per_step=tuples, n_points=n_points, seed=seed,
                       steps_per_epoch=5000)
     gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed)
     t0 = time.time()
-    pool = [gen.next_frame() for _ in range(pool_frames)]
+    pool = _FramePool(gen, pool_frames, branch, extractor)
     progress(f"[{cat_name}] rendered {pool_frames} frames in {time.time()-t0:.0f}s")
 
-    model = ShotBranch(tuple_size=cat.tuple_size)
-    f0 = pool[0]
+    f0 = pool.frames[0][0]
     i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
-    state = create_train_state(model, (f0.pc, f0.shot, f0.normal, i0), cfg,
-                               jax.random.key(seed))
-    step = make_train_step(model, cfg, branch="shot")
+    if branch == "shot":
+        model = ShotBranch(tuple_size=cat.tuple_size)
+        init_args = (f0.pc, f0.shot, f0.normal, i0)
+    else:
+        model = DinoBranch(tuple_size=cat.tuple_size)
+        init_args = (f0.pc, pool.frames[0][1], i0)
+    state = create_train_state(model, init_args, cfg, jax.random.key(seed))
+    step = make_train_step(model, cfg, branch=branch)
 
-    def to_batch(f):
-        return {"pc": f.pc[None], "pc_canon": f.pc_canon[None],
-                "shot": f.shot[None], "normal": f.normal[None],
-                "bound": f.bound[None], "count": jnp.int32(f.count)[None]}
+    def to_batch(f, desc):
+        b = {"pc": f.pc[None], "pc_canon": f.pc_canon[None],
+             "bound": f.bound[None], "count": jnp.int32(f.count)[None]}
+        if branch == "shot":
+            b["shot"], b["normal"] = f.shot[None], f.normal[None]
+        else:
+            b["desc"] = desc[None]
+        return b
 
     rng = np.random.default_rng(seed)
     t0 = time.time()
@@ -66,15 +106,16 @@ def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress,
         if refresh_every and i % refresh_every == 0:
             # stream fresh frames through the pool (avoids the pool-overfit
             # cliff found in round 1 on asymmetric categories)
-            pool[int(rng.integers(0, pool_frames))] = gen.next_frame()
-        f = pool[int(rng.integers(0, pool_frames))]
-        state, metrics = step(state, to_batch(f), jax.random.key(i))
+            pool.refresh_one(rng)
+        f, desc = pool.sample(rng)
+        state, metrics = step(state, to_batch(f, desc), jax.random.key(i))
     progress(f"[{cat_name}] {steps} steps in {time.time()-t0:.0f}s, "
              f"loss {float(metrics['total']):.3f}")
     return model, state
 
 
-def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress):
+def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
+             branch="shot", extractor=None):
     cat = CATEGORIES[cat_name]
     gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed + 77)
     sphere = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
@@ -96,13 +137,45 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress):
             cat, pipe, sphere, run_opt=True,
         )
 
+    @jax.jit
+    def preprocess_only(depth, key):
+        return preprocess_frame(depth, depth > 0, gen.intrinsics, key,
+                                res=cat.res, n_max=n_points, shot_k=48)
+
+    @jax.jit
+    def pose_dino(fi, desc, key):
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
+        ti = jnp.floor(u * fi.count).astype(jnp.int32)
+
+        def dino_apply(params, points, tidx):
+            return model.apply(params, points, desc, tidx)
+
+        return estimate_pose_branch(
+            dino_apply, state.params, fi.pc, fi.valid, fi.count, ti, k2,
+            cat, pipe, sphere, run_opt=True,
+        )
+
+    def _dino_frame(f, key):
+        # eval-path visual descriptors: crop the rendered gray image and
+        # sample the ViT grid at the *preprocessed* cloud's pixels
+        from cppf2_tpu.train.driver import _frame_descriptors
+
+        fi = preprocess_only(f.depth, key)
+        fd = f._replace(pixel_yx=fi.pixel_yx)
+        desc = jnp.asarray(_frame_descriptors(fd, extractor))
+        return pose_dino(fi, desc, jax.random.fold_in(key, 1))
+
     results = []
     errs = []
     t0 = time.time()
     for i in range(n_frames):
         f = gen.next_frame()
         handle_vis = getattr(gen, "last_handle_visible", 1)
-        est = pose_frame(f.depth, jax.random.key(1000 + i))
+        if branch == "dino":
+            est = _dino_frame(f, jax.random.key(1000 + i))
+        else:
+            est = pose_frame(f.depth, jax.random.key(1000 + i))
         rt = np.eye(4)
         rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
         rt[:3, 3] = np.asarray(est.translation)
@@ -146,6 +219,8 @@ def main():
     ap.add_argument("--pool", type=int, default=100)
     ap.add_argument("--refresh-every", type=int, default=0,
                     help="replace one pool frame every N steps (0 = static pool)")
+    ap.add_argument("--branch", default="shot", choices=["shot", "dino"],
+                    help="geometric (SHOT) or visual (DINO over textured renders)")
     ap.add_argument("--num-pairs", type=int, default=20000)
     ap.add_argument("--out", default="benchmarks/synthetic")
     ap.add_argument("--save-ckpts", default=None,
@@ -154,24 +229,26 @@ def main():
     args = ap.parse_args()
 
     pipe = PipelineConfig(n_points=args.n_points, num_pairs=args.num_pairs)
+    extractor = _make_extractor(args.seed) if args.branch == "dino" else None
     all_results = []
     summary = {}
     for cat_name in args.categories:
         model, state = train_one(
             cat_name, args.steps, args.n_points, args.tuples, args.pool,
             args.seed, print, refresh_every=args.refresh_every,
+            branch=args.branch, extractor=extractor,
         )
         if args.save_ckpts:
             from cppf2_tpu.train.checkpoints import save_checkpoint
 
             path = save_checkpoint(
-                os.path.join(args.save_ckpts, "shot", cat_name),
+                os.path.join(args.save_ckpts, args.branch, cat_name),
                 jax.device_get(state),
             )
             print(f"[{cat_name}] saved checkpoint {path}")
         results, errs = eval_one(
             cat_name, model, state, args.frames, pipe, args.n_points,
-            args.seed, print,
+            args.seed, print, branch=args.branch, extractor=extractor,
         )
         all_results += results
         summary[cat_name] = {
