@@ -130,6 +130,7 @@ def estimate_instance(
     run_opt: bool = True,
     use_visual: Optional[bool] = None,
     use_geo: bool = True,
+    crop="auto",
 ):
     """Pose one detected instance. Returns (RT 4x4, scales 3, loss) in the NOCS
     convention (R * |s| in the rotation block, unit-normalized scales) or None
@@ -144,10 +145,15 @@ def estimate_instance(
     cat = get_category(cat_name)
     k1, k2 = jax.random.split(key)
 
+    # dense-pass crop: the bbox is known host-side; use the windowed fast
+    # path when the instance fits (most REAL275 instances), full-frame else
+    if crop == "auto":
+        bb = mask_bbox(mask)
+        crop = 320 if bb and max(bb[2] - bb[0], bb[3] - bb[1]) <= 320 else None
     fi = preprocess_frame(
         jnp.asarray(depth_m.astype(np.float32)), jnp.asarray(mask),
         jnp.asarray(intrinsics.astype(np.float32)), k1,
-        res=cat.res, n_max=pipe.n_points, shot_k=pipe.neighbor_k,
+        res=cat.res, n_max=pipe.n_points, shot_k=pipe.neighbor_k, crop=crop,
     )
     count = int(fi.count)
     if count < 32:

@@ -47,6 +47,7 @@ def make_batched_instance_fn(
     use_visual: bool = False,
     use_geo: bool = True,
     intrinsics: np.ndarray = REAL275_INTRINSICS,
+    crop=None,
 ):
     """Jitted (depths, masks, keys) -> batched pose outputs, batch axis
     sharded over the mesh. Each element runs the same graph as
@@ -62,7 +63,7 @@ def make_batched_instance_fn(
         k1, k2 = jax.random.split(key)
         fi = preprocess_frame(
             depth, mask, k_mat, k1,
-            res=cat.res, n_max=pipe.n_points, shot_k=pipe.neighbor_k,
+            res=cat.res, n_max=pipe.n_points, shot_k=pipe.neighbor_k, crop=crop,
         )
         desc = jnp.zeros((pipe.n_points, 1024), jnp.float32)
 
@@ -129,7 +130,9 @@ def evaluate_real275_parallel(
     key = jax.random.key(seed)
     results: List[Dict] = []
     paths: List[str] = []
-    work: Dict[str, List] = {c: [] for c in CATEGORIES}
+    work: Dict = {
+        (c, cr): [] for c in CATEGORIES for cr in (320, None)
+    }
     for pkl_path in pkls:
         with open(pkl_path, "rb") as f:
             res = pickle.load(f)
@@ -151,14 +154,21 @@ def evaluate_real275_parallel(
                 continue
             key, sub = jax.random.split(key)
             mask = res["pred_masks"][:, :, i].astype(bool)
-            work[cat_name].append((img_idx, i, depth, mask, sub))
+            # same crop decision as the serial driver (estimate_instance)
+            ys, xs = np.where(mask)
+            fits = len(xs) > 0 and max(
+                xs.max() - xs.min() + 1, ys.max() - ys.min() + 1
+            ) <= 320
+            work[(cat_name, 320 if fits else None)].append(
+                (img_idx, i, depth, mask, sub)
+            )
 
-    # pass 2: per category, flush sharded batches
-    for cat_name, items in work.items():
+    # pass 2: per (category, crop) group, flush sharded batches
+    for (cat_name, crop), items in work.items():
         if not items:
             continue
         fn = make_batched_instance_fn(
-            models[cat_name], cat_name, pipe, mesh, run_opt=run_opt,
+            models[cat_name], cat_name, pipe, mesh, run_opt=run_opt, crop=crop,
         )
         bsz = n_dev * flush_multiple
         for lo in range(0, len(items), bsz):

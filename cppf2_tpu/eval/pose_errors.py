@@ -49,4 +49,7 @@ def pose_error_degree_cm(
         r = r1 @ r2.T
         theta = np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1))
 
-    return np.array([np.degrees(theta), np.linalg.norm(t1 - t2) * 100.0])
+    deg = np.degrees(theta)
+    if not np.isfinite(deg):  # degenerate rotation block (det ~ 0) -> worst case
+        deg = 180.0
+    return np.array([deg, np.linalg.norm(t1 - t2) * 100.0])

@@ -10,7 +10,7 @@ from (depth, mask) to the padded cloud + SHOT features the pose graph consumes
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +78,7 @@ class FrameInputs(NamedTuple):
     pixel_yx: jax.Array   # (n_max, 2) image pixels per point (for DINO sampling)
 
 
-@partial(jax.jit, static_argnames=("res", "n_max", "shot_k"))
+@partial(jax.jit, static_argnames=("res", "n_max", "shot_k", "crop"))
 def preprocess_frame(
     depth: jax.Array,       # (H, W) meters
     mask: jax.Array,        # (H, W) bool instance mask
@@ -87,12 +87,39 @@ def preprocess_frame(
     res: float = 2e-3,
     n_max: int = 8192,
     shot_k: int = 64,
+    crop: Optional[int] = None,
 ) -> FrameInputs:
-    """depth+mask -> padded downsampled cloud + SHOT features (eval.py:185-216)."""
+    """depth+mask -> padded downsampled cloud + SHOT features (eval.py:185-216).
+
+    With `crop` set, a crop x crop window is dynamic-sliced around the mask's
+    center of mass before backprojection — the dense pass then runs on ~5x
+    fewer pixels. The caller must ensure the mask bbox fits `crop` (host-side
+    bboxes are known before dispatch; fall back to crop=None otherwise):
+    masked pixels outside the window are dropped.
+    """
+    if crop is not None:
+        h, w = depth.shape
+        c = crop
+        mf = mask.astype(jnp.float32)
+        total = jnp.maximum(jnp.sum(mf), 1.0)
+        cy = jnp.sum(jnp.arange(h, dtype=jnp.float32) * jnp.sum(mf, axis=1)) / total
+        cx = jnp.sum(jnp.arange(w, dtype=jnp.float32) * jnp.sum(mf, axis=0)) / total
+        y0 = jnp.clip(cy.astype(jnp.int32) - c // 2, 0, max(h - c, 0))
+        x0 = jnp.clip(cx.astype(jnp.int32) - c // 2, 0, max(w - c, 0))
+        depth = jax.lax.dynamic_slice(depth, (y0, x0), (min(c, h), min(c, w)))
+        mask = jax.lax.dynamic_slice(mask, (y0, x0), (min(c, h), min(c, w)))
+        # shift the principal point so backprojection stays metric-correct
+        offset = jnp.stack([x0, y0]).astype(intrinsics.dtype)
+        intrinsics = intrinsics.at[:2, 2].add(-offset)
+    else:
+        y0 = x0 = jnp.int32(0)
+
     pts_all, pixel_yx, valid_all = backproject_masked(depth, intrinsics, mask)
     ds = voxel_downsample(pts_all, valid_all, res, n_max, key)
     pc = jnp.where(ds.valid[:, None], pts_all[ds.indices], 0.0)
     pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
+    if crop is not None:
+        pix = pix + jnp.stack([y0, x0]).astype(pix.dtype)[None, :]
     shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
     return FrameInputs(pc, ds.valid, jnp.minimum(ds.count, n_max), shot, normal, pix)
 

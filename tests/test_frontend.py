@@ -103,3 +103,38 @@ class TestVizOverlay:
         out = draw_pose_overlay(rgb, rt, np.array([0.6, 1.0, 0.6]), K)
         assert out.shape == rgb.shape
         assert out.sum() > 0  # something was drawn
+
+
+class TestPreprocessCrop:
+    def test_crop_window_equivalence(self, rng):
+        # crop=256 around the mask must find the same voxel set (equal count)
+        # with metric-correct backprojection (equal bbox) and image-frame pixels
+        import jax
+        import jax.numpy as jnp
+
+        from cppf2_tpu.infer.frontend import preprocess_frame
+
+        depth = np.zeros((480, 640), np.float32)
+        depth[200:280, 300:400] = 0.8
+        depth += rng.uniform(0, 1e-3, depth.shape).astype(np.float32)
+        mask = depth > 0.5
+        k = jnp.asarray(
+            [[591.0, 0, 322.5], [0, 590.2, 244.1], [0, 0, 1.0]], jnp.float32
+        )
+        a = preprocess_frame(
+            jnp.asarray(depth), jnp.asarray(mask), k, jax.random.key(0),
+            n_max=16384,
+        )
+        b = preprocess_frame(
+            jnp.asarray(depth), jnp.asarray(mask), k, jax.random.key(0),
+            n_max=16384, crop=256,
+        )
+        assert int(a.count) == int(b.count)
+        pa = np.asarray(a.pc)[np.asarray(a.valid)]
+        pb = np.asarray(b.pc)[np.asarray(b.valid)]
+        np.testing.assert_allclose(pa.min(0), pb.min(0), atol=3e-3)
+        np.testing.assert_allclose(pa.max(0), pb.max(0), atol=3e-3)
+        pxa = np.asarray(a.pixel_yx)[np.asarray(a.valid)]
+        pxb = np.asarray(b.pixel_yx)[np.asarray(b.valid)]
+        assert pxa.min(0).tolist() == pxb.min(0).tolist()
+        assert pxa.max(0).tolist() == pxb.max(0).tolist()

@@ -114,7 +114,7 @@ class TestParallelEval:
             out = estimate_instance(
                 rgb, depth, res["pred_masks"][:, :, i].astype(bool),
                 REAL275_INTRINSICS, models, "can", pipe, keys[i],
-                run_opt=False, use_visual=False,
+                run_opt=False, use_visual=False, crop=None,
             )
             assert out is not None
             rt_serial, scales_serial, _ = out
