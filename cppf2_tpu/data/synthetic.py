@@ -171,6 +171,7 @@ class SyntheticFrameGenerator:
     randomize_lighting: bool = True   # per-frame light dir/intensity/ambient
     texture: bool = True              # value-noise albedo (visual branch input)
     renderer: str = "splat"           # "splat" | "raster"
+    z_range: tuple = (0.6, 2.0)       # camera distance (dataset.py:226)
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
@@ -204,7 +205,7 @@ class SyntheticFrameGenerator:
             [
                 self.rng.uniform(-0.3, 0.3),
                 self.rng.uniform(-0.3, 0.3),
-                self.rng.uniform(0.6, 2.0),
+                self.rng.uniform(*self.z_range),
             ],
             np.float32,
         )

@@ -234,3 +234,39 @@ class TestRasterRender:
         depth = np.asarray(frame.depth)
         assert gray.max() <= 1.0 and gray[depth > 0].min() >= 0.0
         assert np.isfinite(np.asarray(frame.shot)).all()
+
+
+class TestMugHandleMeta:
+    def test_meta_identifies_handle(self, rng):
+        from cppf2_tpu.data.shapes import make_category_mesh
+
+        for seed in range(3):
+            r = np.random.default_rng(seed)
+            (v, f), meta = make_category_mesh("mug", r, return_meta=True)
+            assert "handle_cut" in meta and "axis_xz" in meta
+            ax, az = meta["axis_xz"]
+            cyl = np.hypot(v[:, 0] - ax, v[:, 2] - az)
+            handle = cyl > meta["handle_cut"]
+            # the handle exists and protrudes on the +x side of the body axis
+            assert handle.sum() > 20
+            assert (v[handle, 0] - ax).min() > 0
+            # and it reaches meaningfully past the wall (a visible yaw cue)
+            assert cyl[handle].max() > meta["handle_cut"] * 1.3
+
+    def test_generator_sets_handle_visibility(self):
+        gen = SyntheticFrameGenerator(
+            CATEGORIES["mug"], n_max=1024, surface_samples=40000,
+            height=240, width=320, shot_k=16, seed=2,
+        )
+        flags = []
+        for _ in range(4):
+            f = gen.next_frame()
+            assert gen.last_handle_visible in (0, 1)
+            # flag consistent with the canonical cloud vs the meta cylinder
+            meta = gen.last_meta
+            pcc = np.asarray(f.pc_canon)[np.asarray(f.valid)]
+            cyl = np.hypot(pcc[:, 0] - meta["axis_xz"][0],
+                           pcc[:, 2] - meta["axis_xz"][1])
+            want = int((cyl > meta["handle_cut"]).sum() >= 15)
+            assert gen.last_handle_visible == want
+            flags.append(gen.last_handle_visible)

@@ -115,6 +115,15 @@ class TestPoseErrors:
         err = pose_error_degree_cm(rt1, rt2, "can")
         assert err[0] < 1e-4
 
+    def test_degenerate_rotation_is_worst_case(self):
+        # all-zero rotation block (a failed prediction) must score 180 deg,
+        # not NaN — NaNs would poison medians and the mAP accumulators
+        rt1 = np.eye(4)
+        bad = np.eye(4)
+        bad[:3, :3] = 0.0
+        err = pose_error_degree_cm(bad, rt1, "laptop")
+        assert err[0] == 180.0 and np.isfinite(err).all()
+
     def test_scaled_rotation_normalized(self):
         rt1 = np.eye(4)
         rt2 = np.eye(4)
