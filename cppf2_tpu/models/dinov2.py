@@ -43,6 +43,11 @@ class ViTConfig:
     pretrain_grid: int = 37
     # compute dtype: bf16 keeps matmuls on the MXU fast path; params stay f32
     compute_dtype: str = "bfloat16"
+    # attention implementation: "hbm" materializes (T, T) logits in bf16;
+    # "chunked" streams key/value blocks with an online softmax (flash-style
+    # in plain XLA), trading the T^2 HBM tensors for a lax.scan
+    attn_impl: str = "hbm"
+    attn_chunk: int = 512
 
 
 VIT_L14 = ViTConfig()
@@ -78,13 +83,60 @@ class _Attention(nn.Module):
         kh = k.reshape(t, h, hd).transpose(1, 0, 2)
         vh = v.reshape(t, h, hd).transpose(1, 0, 2)
 
-        logits = jnp.einsum("htd,hsd->hts", qh, kh, preferred_element_type=dt)
-        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-        e = jnp.exp((logits - m).astype(jnp.float32)).astype(dt)
-        s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
-        o = jnp.einsum("hts,hsd->htd", e, vh, preferred_element_type=jnp.float32) / s
+        if self.cfg.attn_impl == "chunked":
+            o = _chunked_attention(qh, kh, vh, self.cfg.attn_chunk, dt)
+        else:
+            logits = jnp.einsum("htd,hsd->hts", qh, kh, preferred_element_type=dt)
+            m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+            e = jnp.exp((logits - m).astype(jnp.float32)).astype(dt)
+            s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.einsum("hts,hsd->htd", e, vh, preferred_element_type=jnp.float32) / s
         out = o.transpose(1, 0, 2).reshape(t, d).astype(dt)
         return nn.Dense(d, name="proj", dtype=dt)(out)
+
+
+def _chunked_attention(qh, kh, vh, chunk: int, dt):
+    """Online-softmax attention over key/value chunks (flash-style, plain XLA).
+
+    qh/kh/vh: (h, T, hd); returns (h, T, hd) f32. Each scan step touches one
+    (h, T, chunk) logit block instead of the full (h, T, T) tensor, so peak
+    HBM residency drops from O(T^2) to O(T * chunk) while the running
+    max/sum/accumulator stay f32.
+    """
+    h, t, hd = kh.shape
+    pad = (-t) % chunk
+    if pad:
+        kp = jnp.pad(kh, ((0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(vh, ((0, 0), (0, pad), (0, 0)))
+    else:
+        kp, vp = kh, vh
+    n_chunks = kp.shape[1] // chunk
+    kc = kp.reshape(h, n_chunks, chunk, hd).transpose(1, 0, 2, 3)
+    vc = vp.reshape(h, n_chunks, chunk, hd).transpose(1, 0, 2, 3)
+    # padded keys must not receive weight: mask their logits to -inf
+    valid = (jnp.arange(n_chunks * chunk) < t).reshape(n_chunks, chunk)
+
+    def step(carry, kv):
+        m_run, s_run, o_run = carry
+        k_blk, v_blk, valid_blk = kv
+        logits = jnp.einsum(
+            "htd,hsd->hts", qh, k_blk, preferred_element_type=jnp.float32
+        )
+        logits = jnp.where(valid_blk[None, None, :], logits, -jnp.inf)
+        m_blk = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_run, m_blk)
+        scale = jnp.exp(m_run - m_new)
+        e = jnp.exp(logits - m_new).astype(dt)
+        s_new = s_run * scale + jnp.sum(e.astype(jnp.float32), -1, keepdims=True)
+        pv = jnp.einsum("hts,hsd->htd", e, v_blk, preferred_element_type=jnp.float32)
+        o_new = o_run * scale + pv
+        return (m_new, s_new, o_new), None
+
+    m0 = jnp.full((h, t, 1), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((h, t, 1), jnp.float32)
+    o0 = jnp.zeros((h, t, hd), jnp.float32)
+    (m_f, s_f, o_f), _ = jax.lax.scan(step, (m0, s0, o0), (kc, vc, valid))
+    return o_f / s_f
 
 
 class _Block(nn.Module):

@@ -136,3 +136,21 @@ class TestExtractor:
         feats = np.asarray(ex(img, pts))
         assert feats.shape == (20, TINY.embed_dim)
         np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-4)
+
+
+class TestChunkedAttention:
+    def test_matches_hbm_attention(self, rng):
+        # flash-style online-softmax scan must reproduce the materialized
+        # path exactly in f32, including the padded final key block
+        from cppf2_tpu.models.dinov2 import DinoViT, ViTConfig
+
+        kw = dict(embed_dim=64, depth=2, num_heads=4, pretrain_grid=8,
+                  compute_dtype="float32")
+        img = jnp.asarray(rng.uniform(0, 1, (70, 70, 3)).astype(np.float32))
+        m_h = DinoViT(ViTConfig(attn_impl="hbm", **kw))
+        m_c = DinoViT(ViTConfig(attn_impl="chunked", attn_chunk=7, **kw))
+        p = m_h.init(jax.random.key(0), img)
+        np.testing.assert_allclose(
+            np.asarray(m_h.apply(p, img)), np.asarray(m_c.apply(p, img)),
+            atol=1e-5,
+        )
