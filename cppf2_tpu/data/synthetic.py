@@ -172,6 +172,11 @@ class SyntheticFrameGenerator:
     texture: bool = True              # value-noise albedo (visual branch input)
     renderer: str = "splat"           # "splat" | "raster"
     z_range: tuple = (0.6, 2.0)       # camera distance (dataset.py:226)
+    # training-side filter: redraw poses until the mug handle is visible.
+    # Invisible-handle frames make the yaw component of the canonical-coord
+    # targets unobservable — label noise for the rotation head (the eval
+    # protocol forgives those frames via gt_handle_visibility instead).
+    require_handle_visible: bool = False
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
@@ -281,6 +286,8 @@ class SyntheticFrameGenerator:
                     self.last_handle_visible = int(
                         (cyl > meta["handle_cut"]).sum() >= 15
                     )
+                    if self.require_handle_visible and not self.last_handle_visible:
+                        continue  # redraw pose/mesh until the yaw cue is visible
                 return frame
         raise RuntimeError("could not render a frame with enough points")
 

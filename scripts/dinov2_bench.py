@@ -19,13 +19,21 @@ import numpy as np
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
-    from cppf2_tpu.models.dinov2 import DinoFeatureExtractor
+    from cppf2_tpu.models.dinov2 import VIT_L14, DinoFeatureExtractor, ViTConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attn-impl", default="hbm", choices=["hbm", "chunked"])
+    ap.add_argument("--attn-chunk", type=int, default=512)
+    args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    ext = DinoFeatureExtractor()
+    cfg = ViTConfig(attn_impl=args.attn_impl, attn_chunk=args.attn_chunk)
+    ext = DinoFeatureExtractor(cfg=cfg)
     ext.init_random(hw=(256, 256))
 
     img = jnp.asarray(rng.uniform(0, 1, (256, 256, 3)).astype(np.float32))
@@ -50,8 +58,8 @@ def main():
     float(c)
     dt = (time.time() - t0) / k
     print(
-        f"dinov2 vit-l/14 crop->8192 descriptors: {dt*1000:.0f} ms "
-        f"({1/dt:.1f} crops/s, 4097 tokens, bf16)"
+        f"dinov2 vit-l/14 crop->8192 descriptors [{args.attn_impl}]: "
+        f"{dt*1000:.0f} ms ({1/dt:.1f} crops/s, 4097 tokens, bf16)"
     )
 
 

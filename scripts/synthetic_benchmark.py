@@ -71,11 +71,13 @@ class _FramePool:
 
 
 def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress,
-              refresh_every=0, branch="shot", extractor=None):
+              refresh_every=0, branch="shot", extractor=None,
+              handle_visible=False):
     cat = CATEGORIES[cat_name]
     cfg = TrainConfig(tuples_per_step=tuples, n_points=n_points, seed=seed,
                       steps_per_epoch=5000)
-    gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed)
+    gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed,
+                                  require_handle_visible=handle_visible)
     t0 = time.time()
     pool = _FramePool(gen, pool_frames, branch, extractor)
     progress(f"[{cat_name}] rendered {pool_frames} frames in {time.time()-t0:.0f}s")
@@ -219,6 +221,10 @@ def main():
     ap.add_argument("--pool", type=int, default=100)
     ap.add_argument("--refresh-every", type=int, default=0,
                     help="replace one pool frame every N steps (0 = static pool)")
+    ap.add_argument("--train-handle-visible", action="store_true",
+                    help="train only on frames whose mug handle is visible "
+                         "(yaw is unobservable otherwise; eval still sees all "
+                         "frames and gates via gt_handle_visibility)")
     ap.add_argument("--branch", default="shot", choices=["shot", "dino"],
                     help="geometric (SHOT) or visual (DINO over textured renders)")
     ap.add_argument("--num-pairs", type=int, default=20000)
@@ -237,6 +243,7 @@ def main():
             cat_name, args.steps, args.n_points, args.tuples, args.pool,
             args.seed, print, refresh_every=args.refresh_every,
             branch=args.branch, extractor=extractor,
+            handle_visible=args.train_handle_visible,
         )
         if args.save_ckpts:
             from cppf2_tpu.train.checkpoints import save_checkpoint
