@@ -74,8 +74,11 @@ def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress,
               refresh_every=0, branch="shot", extractor=None,
               handle_visible=False):
     cat = CATEGORIES[cat_name]
-    cfg = TrainConfig(tuples_per_step=tuples, n_points=n_points, seed=seed,
-                      steps_per_epoch=5000)
+    # default steps_per_epoch=200 keeps the reference's StepLR cadence: decay
+    # x0.5 every 25 virtual epochs = 5000 steps (train_shot.py:124-130 with
+    # dataset.py:364's virtual length; a larger value silently disables
+    # annealing and cost ~1-2 deg of final precision in round-1 runs)
+    cfg = TrainConfig(tuples_per_step=tuples, n_points=n_points, seed=seed)
     gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed,
                                   require_handle_visible=handle_visible)
     t0 = time.time()
@@ -170,10 +173,12 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
 
     results = []
     errs = []
+    vis = []
     t0 = time.time()
     for i in range(n_frames):
         f = gen.next_frame()
         handle_vis = getattr(gen, "last_handle_visible", 1)
+        vis.append(handle_vis)
         if branch == "dino":
             est = _dino_frame(f, jax.random.key(1000 + i))
         else:
@@ -208,7 +213,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
         f"[{cat_name}] eval {n_frames} frames in {time.time()-t0:.0f}s: "
         f"median {np.median(errs[:, 0]):.1f} deg / {np.median(errs[:, 1]):.2f} cm"
     )
-    return results, errs
+    return results, errs, np.asarray(vis)
 
 
 def main():
@@ -253,11 +258,14 @@ def main():
                 jax.device_get(state),
             )
             print(f"[{cat_name}] saved checkpoint {path}")
-        results, errs = eval_one(
+        results, errs, vis = eval_one(
             cat_name, model, state, args.frames, pipe, args.n_points,
             args.seed, print, branch=args.branch, extractor=extractor,
         )
         all_results += results
+        os.makedirs(args.out, exist_ok=True)
+        np.savez(os.path.join(args.out, f"errors_{cat_name}.npz"),
+                 errs=errs, handle_visible=vis)
         summary[cat_name] = {
             "median_deg": float(np.median(errs[:, 0])),
             "median_cm": float(np.median(errs[:, 1])),
