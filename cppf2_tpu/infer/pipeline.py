@@ -207,6 +207,43 @@ def estimate_pose_branch(
     return PoseEstimate(pose.rotation, pose.translation, scale, scale_norm, loss)
 
 
+def estimate_pose_branch_restarts(
+    apply_fn,
+    params,
+    points: jax.Array,
+    point_valid: jax.Array,
+    count: jax.Array,
+    key: jax.Array,
+    cat: CategoryConfig,
+    pipe: PipelineConfig,
+    sphere_pts: jax.Array,
+    restarts: int = 3,
+    run_opt: bool = True,
+) -> PoseEstimate:
+    """Best-of-N restarts of one branch's pipeline (inference-time scaling).
+
+    The vote pipeline is stochastic (tuple sampling eval.py:207, multinomial
+    bin sampling eval.py:227-229); each restart draws an independent sample
+    and the winner is picked by the same clipped reconstruction loss the
+    reference uses for ensemble selection (eval.py:358-372). Kills both
+    near-miss axis errors and gross yaw flips at linear extra on-chip cost —
+    the restart axis is vmapped, so it batches like the branch axis.
+    """
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
+        ti = jnp.floor(u * count).astype(jnp.int32)
+        return estimate_pose_branch(
+            apply_fn, params, points, point_valid, count, ti, k2,
+            cat, pipe, sphere_pts, run_opt=run_opt,
+        )
+
+    ests = jax.vmap(one)(jax.random.split(key, restarts))
+    i = jnp.argmin(ests.loss)
+    return jax.tree.map(lambda x: x[i], ests)
+
+
 def estimate_pose_ensemble(
     dino_apply,
     dino_params,

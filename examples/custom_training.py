@@ -49,9 +49,10 @@ def run(
     progress=print,
 ):
     cat = CATEGORIES[category]
+    # default steps_per_epoch=200 keeps the reference's StepLR cadence
+    # (decay x0.5 every 5000 steps, train_shot.py:124-130)
     cfg = TrainConfig(
         tuples_per_step=tuples_per_step, n_points=n_points, seed=seed,
-        steps_per_epoch=max(1, steps // 4),
     )
     gen = SyntheticFrameGenerator(
         cat, n_max=n_points, height=render_hw[0], width=render_hw[1],

@@ -51,7 +51,7 @@ def main(steps=20000, n_points=4096, out="predictions/sim2real"):
     pool = [gen.next_frame(mesh=mesh) for _ in range(100)]
     print("[sim2real] rendered 100 training frames")
 
-    cfg = TrainConfig(tuples_per_step=8192, n_points=n_points, steps_per_epoch=5000)
+    cfg = TrainConfig(tuples_per_step=8192, n_points=n_points)
     model = ShotBranch(tuple_size=cat.tuple_size)
     f0 = pool[0]
     i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)

@@ -32,7 +32,10 @@ from cppf2_tpu.core.geometry import fibonacci_sphere
 from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
 from cppf2_tpu.infer.frontend import preprocess_frame
-from cppf2_tpu.infer.pipeline import estimate_pose_branch
+from cppf2_tpu.infer.pipeline import (
+    estimate_pose_branch,
+    estimate_pose_branch_restarts,
+)
 from cppf2_tpu.models import DinoBranch, ShotBranch
 from cppf2_tpu.train import create_train_state
 from cppf2_tpu.train.loop import make_train_step
@@ -120,7 +123,7 @@ def train_one(cat_name, steps, n_points, tuples, pool_frames, seed, progress,
 
 
 def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
-             branch="shot", extractor=None):
+             branch="shot", extractor=None, restarts=1):
     cat = CATEGORIES[cat_name]
     gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed + 77)
     sphere = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
@@ -131,12 +134,18 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
         fi = preprocess_frame(depth, depth > 0, gen.intrinsics, key,
                               res=cat.res, n_max=n_points, shot_k=48)
         k1, k2 = jax.random.split(jax.random.fold_in(key, 1))
-        u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
-        ti = jnp.floor(u * fi.count).astype(jnp.int32)
 
         def shot_apply(params, points, tidx):
             return model.apply(params, points, fi.shot, fi.normal, tidx)
 
+        if restarts > 1:
+            return estimate_pose_branch_restarts(
+                shot_apply, state.params, fi.pc, fi.valid, fi.count,
+                jax.random.fold_in(key, 1), cat, pipe, sphere,
+                restarts=restarts, run_opt=True,
+            )
+        u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
+        ti = jnp.floor(u * fi.count).astype(jnp.int32)
         return estimate_pose_branch(
             shot_apply, state.params, fi.pc, fi.valid, fi.count, ti, k2,
             cat, pipe, sphere, run_opt=True,
@@ -233,6 +242,8 @@ def main():
     ap.add_argument("--branch", default="shot", choices=["shot", "dino"],
                     help="geometric (SHOT) or visual (DINO over textured renders)")
     ap.add_argument("--num-pairs", type=int, default=20000)
+    ap.add_argument("--restarts", type=int, default=1,
+                    help="best-of-N eval restarts, picked by recon loss")
     ap.add_argument("--out", default="benchmarks/synthetic")
     ap.add_argument("--save-ckpts", default=None,
                     help="save trained params under {dir}/shot/{category}")
@@ -261,6 +272,7 @@ def main():
         results, errs, vis = eval_one(
             cat_name, model, state, args.frames, pipe, args.n_points,
             args.seed, print, branch=args.branch, extractor=extractor,
+            restarts=args.restarts,
         )
         all_results += results
         os.makedirs(args.out, exist_ok=True)

@@ -152,3 +152,37 @@ class TestOraclePose:
             tuple_idx, jax.random.key(6), cat, PIPE, sphere, run_opt=False,
         )
         assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
+
+
+class TestRestarts:
+    def test_best_of_n_picks_min_loss(self, rng):
+        from cppf2_tpu.infer.pipeline import (
+            estimate_pose_branch,
+            estimate_pose_branch_restarts,
+        )
+
+        cat = CATEGORIES["mug"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        apply_fn = _oracle_apply(pc_canon, bound)
+        n = len(pc)
+        sphere = jnp.asarray(fibonacci_sphere(PIPE.sphere_samples))
+        key = jax.random.key(3)
+
+        est = estimate_pose_branch_restarts(
+            apply_fn, None, jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+            key, cat, PIPE, sphere, restarts=3, run_opt=False,
+        )
+        # winner loss == min over manually replayed restarts
+        losses = []
+        for k in jax.random.split(key, 3):
+            k1, k2 = jax.random.split(k)
+            u = jax.random.uniform(k1, (PIPE.num_pairs, cat.tuple_size))
+            ti = jnp.floor(u * n).astype(jnp.int32)
+            e = estimate_pose_branch(
+                apply_fn, None, jnp.asarray(pc), jnp.ones(n, bool),
+                jnp.int32(n), ti, k2, cat, PIPE, sphere, run_opt=False,
+            )
+            losses.append(float(e.loss))
+        assert np.isclose(float(est.loss), min(losses), atol=1e-6)
+        # and the pose is still a valid estimate
+        assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
