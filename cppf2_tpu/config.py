@@ -96,6 +96,8 @@ class PipelineConfig:
     opt_steps: int = 100          # alignment optimizer iterations (reference: eval.py:327)
     opt_lr: float = 1e-2          # alignment Adam lr (reference: eval.py:325)
     neighbor_k: int = 64          # fixed neighbor budget for normals/SHOT
+    restarts: int = 1             # best-of-N ensemble restarts by recon loss
+                                  # (inference-time scaling; 1 = reference path)
 
     @property
     def num_kept_pairs(self) -> int:

@@ -21,6 +21,7 @@ Conventions carried over from the reference:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional
 
@@ -264,7 +265,26 @@ def estimate_pose_ensemble(
     architectures); everything after the logits runs once, vmapped over a
     leading branch axis [dino, shot]. Shared tuple sample across branches,
     like the reference's single `point_idxs_all` (eval.py:207).
+
+    With `pipe.restarts > 1` the whole ensemble reruns on N independent
+    tuple/bin draws via `lax.map` (sequential — same memory as one pass)
+    and the lowest-loss candidate wins; see
+    `estimate_pose_branch_restarts` for the rationale.
     """
+    if pipe.restarts > 1:
+        single = dataclasses.replace(pipe, restarts=1)
+
+        def _one(k):
+            return estimate_pose_ensemble(
+                dino_apply, dino_params, shot_apply, shot_params,
+                points, point_valid, count, k, cat, single,
+                run_opt=run_opt, use_visual=use_visual, use_geo=use_geo,
+            )
+
+        ests = jax.lax.map(_one, jax.random.split(key, pipe.restarts))
+        i = jnp.argmin(ests.loss)
+        return jax.tree.map(lambda x: x[i], ests)
+
     sphere_pts = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
     k_tuple, k_dino, k_shot = jax.random.split(key, 3)
     u = jax.random.uniform(k_tuple, (pipe.num_pairs, 5))

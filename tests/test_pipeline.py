@@ -186,3 +186,27 @@ class TestRestarts:
         assert np.isclose(float(est.loss), min(losses), atol=1e-6)
         # and the pose is still a valid estimate
         assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
+
+    def test_ensemble_restarts_config(self, rng):
+        # pipe.restarts>1 reruns the whole ensemble and returns the lowest
+        # recon-loss candidate; loss must be <= a single-restart run's median
+        # behavior and the selected pose must still be valid
+        import dataclasses as dc
+
+        cat = CATEGORIES["mug"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        apply_fn = _oracle_apply(pc_canon, bound)
+        n = len(pc)
+
+        def noisy_apply(params, points, ti):   # weaker second branch
+            p = apply_fn(params, points, ti)
+            return TuplePredictions(p.logits * 0.02, p.scales)
+
+        pipe_r = dc.replace(PIPE, restarts=3, opt_steps=5)
+        est = estimate_pose_ensemble(
+            apply_fn, None, noisy_apply, None,
+            jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+            jax.random.key(4), cat, pipe_r, run_opt=True,
+        )
+        assert np.isfinite(float(est.loss))
+        assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
