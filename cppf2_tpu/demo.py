@@ -73,10 +73,12 @@ def main():
     ap.add_argument("--depth-scale", type=float, default=1000.0)
     ap.add_argument("--out", default="predictions")
     ap.add_argument("--no-opt", action="store_true")
+    ap.add_argument("--restarts", type=int, default=1,
+                    help="best-of-N pose restarts by reconstruction loss")
     args = ap.parse_args()
 
     models = load_category_models(args.ckpts, [args.category])[args.category]
-    pipe = PipelineConfig()
+    pipe = PipelineConfig(restarts=args.restarts)
     dino_extractor = None
     if args.dino_ckpt:
         from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, load_dinov2_params
