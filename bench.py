@@ -84,7 +84,10 @@ def main():
 
     rng = np.random.default_rng(0)
     cat = CATEGORIES["mug"]
-    pipe = PipelineConfig()
+    # experiment overrides (defaults = production config)
+    dt = os.environ.get("BENCH_DTYPE", "float32")
+    k_nb = int(os.environ.get("BENCH_K", "0")) or None
+    pipe = PipelineConfig(**({"neighbor_k": k_nb} if k_nb else {}))
     n = pipe.n_points
 
     depth_np, mask_np = make_frame(rng)
@@ -93,7 +96,7 @@ def main():
     k_j = jnp.asarray(REAL275_K)
     desc_j = jnp.asarray(rng.normal(size=(n, 1024)).astype(np.float32))
 
-    shot_m, dino_m = ShotBranch(), DinoBranch()
+    shot_m, dino_m = ShotBranch(dtype=dt), DinoBranch(dtype=dt)
     i0 = jnp.zeros((8, 5), jnp.int32)
     pc0 = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
     shot0 = jnp.asarray(rng.normal(size=(n, 352)).astype(np.float32))
