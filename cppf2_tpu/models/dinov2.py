@@ -45,7 +45,9 @@ class ViTConfig:
     compute_dtype: str = "bfloat16"
     # attention implementation: "hbm" materializes (T, T) logits in bf16;
     # "chunked" streams key/value blocks with an online softmax (flash-style
-    # in plain XLA), trading the T^2 HBM tensors for a lax.scan
+    # in plain XLA; reduces peak memory, not traffic — measured slower);
+    # "pallas" is the fused VMEM-resident kernel (ops/pallas_attention.py)
+    # that avoids the (T, T) HBM tensors entirely
     attn_impl: str = "hbm"
     attn_chunk: int = 512
 
@@ -83,7 +85,12 @@ class _Attention(nn.Module):
         kh = k.reshape(t, h, hd).transpose(1, 0, 2)
         vh = v.reshape(t, h, hd).transpose(1, 0, 2)
 
-        if self.cfg.attn_impl == "chunked":
+        if self.cfg.attn_impl == "pallas":
+            from cppf2_tpu.ops.pallas_attention import mha_pallas
+            from cppf2_tpu.ops.pallas_kernels import on_tpu
+
+            o = mha_pallas(qh, kh, vh, interpret=not on_tpu())
+        elif self.cfg.attn_impl == "chunked":
             o = _chunked_attention(qh, kh, vh, self.cfg.attn_chunk, dt)
         else:
             logits = jnp.einsum("htd,hsd->hts", qh, kh, preferred_element_type=dt)

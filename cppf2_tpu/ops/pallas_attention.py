@@ -1,0 +1,77 @@
+"""Pallas TPU multi-head attention for the DINOv2 ViT.
+
+Why: at ViT-L/stride-4 scale (h=16, T=4097, hd=64) the XLA attention path
+materializes (h, T, T) bf16 logits/exp tensors in HBM — 537 MB each, ~4.1
+ms/layer, 99 of the 117 ms ViT forward measured on v5e (xplane trace). XLA
+cannot fuse a transcendental into a dot operand, so chunking in plain JAX
+reduces peak memory but not traffic.
+
+Here one (head, query-block) grid step holds the head's ENTIRE K and V in
+VMEM (T_pad*64*2B ~ 0.56 MB each), computes the full logits row block
+(BQ, T_pad) f32 in VMEM, softmaxes in-register, and writes only the (BQ, hd)
+output — HBM traffic per layer drops from ~1.6 GB to ~34 MB. No online
+softmax needed: a single pass sees every key.
+
+Inference-only (no grad), no masking beyond key-padding, which is exactly the
+ViT use case (frozen backbone).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
+    # q: (1, BQ, hd) bf16 (pre-scaled); k/v: (1, T_pad, hd) bf16
+    logits = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, T_pad) f32
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < t_real, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        e.astype(jnp.bfloat16), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, hd) f32
+    o_ref[0] = (pv / s).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def mha_pallas(
+    q: jax.Array,   # (h, T, hd) — pre-scaled by 1/sqrt(hd)
+    k: jax.Array,   # (h, T, hd)
+    v: jax.Array,   # (h, T, hd)
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full-softmax attention; returns (h, T, hd) f32."""
+    h, t, hd = q.shape
+    t_pad = -(-t // block_q) * block_q
+    pad = t_pad - t
+    qb = jnp.pad(q.astype(jnp.bfloat16), ((0, 0), (0, pad), (0, 0)))
+    kb = jnp.pad(k.astype(jnp.bfloat16), ((0, 0), (0, pad), (0, 0)))
+    vb = jnp.pad(v.astype(jnp.bfloat16), ((0, 0), (0, pad), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, t_real=t),
+        out_shape=jax.ShapeDtypeStruct((h, t_pad, hd), jnp.float32),
+        grid=(h, t_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda hh, i: (hh, i, 0)),
+            # whole K/V per head; index depends only on the head, so the
+            # pipeline re-uses the resident copy across query blocks
+            pl.BlockSpec((1, t_pad, hd), lambda hh, i: (hh, 0, 0)),
+            pl.BlockSpec((1, t_pad, hd), lambda hh, i: (hh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda hh, i: (hh, i, 0)),
+        interpret=interpret,
+    )(qb, kb, vb)
+    return out[:, :t, :]

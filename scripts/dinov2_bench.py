@@ -27,7 +27,7 @@ def main():
     from cppf2_tpu.models.dinov2 import VIT_L14, DinoFeatureExtractor, ViTConfig
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--attn-impl", default="hbm", choices=["hbm", "chunked"])
+    ap.add_argument("--attn-impl", default="hbm", choices=["hbm", "chunked", "pallas"])
     ap.add_argument("--attn-chunk", type=int, default=512)
     args = ap.parse_args()
 

@@ -262,13 +262,14 @@ def main():
             handle_visible=args.train_handle_visible,
         )
         if args.save_ckpts:
-            from cppf2_tpu.train.checkpoints import save_checkpoint
+            from cppf2_tpu.train.checkpoints import export_params_msgpack
 
-            path = save_checkpoint(
-                os.path.join(args.save_ckpts, args.branch, cat_name),
-                jax.device_get(state),
+            path = export_params_msgpack(
+                os.path.join(args.save_ckpts, args.branch, cat_name,
+                             "params.msgpack"),
+                jax.device_get(state.params),
             )
-            print(f"[{cat_name}] saved checkpoint {path}")
+            print(f"[{cat_name}] saved params {path}")
         results, errs, vis = eval_one(
             cat_name, model, state, args.frames, pipe, args.n_points,
             args.seed, print, branch=args.branch, extractor=extractor,

@@ -154,3 +154,18 @@ class TestChunkedAttention:
             np.asarray(m_h.apply(p, img)), np.asarray(m_c.apply(p, img)),
             atol=1e-5,
         )
+
+    def test_pallas_attention_matches_hbm(self, rng):
+        # fused VMEM kernel (interpret mode on CPU) vs the materialized path
+        from cppf2_tpu.models.dinov2 import DinoViT, ViTConfig
+
+        kw = dict(embed_dim=64, depth=2, num_heads=4, pretrain_grid=8,
+                  compute_dtype="float32")
+        img = jnp.asarray(rng.uniform(0, 1, (70, 70, 3)).astype(np.float32))
+        m_h = DinoViT(ViTConfig(attn_impl="hbm", **kw))
+        m_p = DinoViT(ViTConfig(attn_impl="pallas", **kw))
+        p = m_h.init(jax.random.key(0), img)
+        np.testing.assert_allclose(
+            np.asarray(m_h.apply(p, img)), np.asarray(m_p.apply(p, img)),
+            atol=5e-2,  # kernel computes in bf16 q/k/v
+        )
