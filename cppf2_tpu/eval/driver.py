@@ -75,7 +75,9 @@ class CategoryModels:
         return self._pose_fns[k]
 
 
-def load_category_models(ckpt_root: str, categories=None) -> Dict[str, CategoryModels]:
+def load_category_models(
+    ckpt_root: str, categories=None, infer_dtype: str = "float32"
+) -> Dict[str, CategoryModels]:
     """Restore per-category branch checkpoints from `{root}/{branch}/{cat}`.
 
     Missing checkpoints fall back to randomly initialized params (the pipeline
@@ -89,8 +91,10 @@ def load_category_models(ckpt_root: str, categories=None) -> Dict[str, CategoryM
     out = {}
     for name in categories or CATEGORIES:
         cat = CATEGORIES[name]
-        shot_m = ShotBranch(tuple_size=cat.tuple_size)
-        dino_m = DinoBranch(tuple_size=cat.tuple_size)
+        # inference compute dtype: bf16 halves MLP/gather traffic on the MXU
+        # path; params stay f32 (flax casts at compute)
+        shot_m = ShotBranch(tuple_size=cat.tuple_size, dtype=infer_dtype)
+        dino_m = DinoBranch(tuple_size=cat.tuple_size, dtype=infer_dtype)
         i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
         pc0 = jnp.zeros((16, 3))
         sp = shot_m.init(
