@@ -84,8 +84,11 @@ def main():
 
     rng = np.random.default_rng(0)
     cat = CATEGORIES["mug"]
-    # experiment overrides (defaults = production config)
-    dt = os.environ.get("BENCH_DTYPE", "float32")
+    # production inference config: bf16 branch MLPs (validated: +0.06 deg
+    # median vs f32 on a trained checkpoint — scripts/dtype_check.py) and
+    # the k=48 neighbor budget every accuracy result uses. BENCH_* env vars
+    # override for experiments.
+    dt = os.environ.get("BENCH_DTYPE", "bfloat16")
     k_nb = int(os.environ.get("BENCH_K", "0")) or None
     pipe = PipelineConfig(**({"neighbor_k": k_nb} if k_nb else {}))
     n = pipe.n_points

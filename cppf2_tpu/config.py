@@ -95,7 +95,10 @@ class PipelineConfig:
     imp_wt_margin: float = 0.01   # importance weight margin (reference: eval.py:56)
     opt_steps: int = 100          # alignment optimizer iterations (reference: eval.py:327)
     opt_lr: float = 1e-2          # alignment Adam lr (reference: eval.py:325)
-    neighbor_k: int = 64          # fixed neighbor budget for normals/SHOT
+    neighbor_k: int = 48          # fixed neighbor budget for normals/SHOT
+                                  # (all synthetic accuracy results use 48;
+                                  # 64 costs ~1.3x preprocess for no measured
+                                  # accuracy gain)
     restarts: int = 1             # best-of-N ensemble restarts by recon loss
                                   # (inference-time scaling; 1 = reference path)
 
