@@ -116,7 +116,7 @@ def main():
         k_pre, k_pose = jax.random.split(key)
         fi = preprocess_frame(
             depth, mask_j, k_j, k_pre,
-            res=cat.res, n_max=n, shot_k=pipe.neighbor_k, crop=320,
+            res=cat.res, n_max=n, shot_k=pipe.neighbor_k, crop=256,
         )
 
         def shot_apply(params, points, ti):

@@ -153,7 +153,8 @@ def estimate_instance(
     # path when the instance fits (most REAL275 instances), full-frame else
     if crop == "auto":
         bb = mask_bbox(mask)
-        crop = 320 if bb and max(bb[2] - bb[0], bb[3] - bb[1]) <= 320 else None
+        ext_px = max(bb[2] - bb[0], bb[3] - bb[1]) if bb else 10**9
+        crop = 256 if ext_px <= 256 else (320 if ext_px <= 320 else None)
     fi = preprocess_frame(
         jnp.asarray(depth_m.astype(np.float32)), jnp.asarray(mask),
         jnp.asarray(intrinsics.astype(np.float32)), k1,

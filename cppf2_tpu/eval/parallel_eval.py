@@ -131,7 +131,7 @@ def evaluate_real275_parallel(
     results: List[Dict] = []
     paths: List[str] = []
     work: Dict = {
-        (c, cr): [] for c in CATEGORIES for cr in (320, None)
+        (c, cr): [] for c in CATEGORIES for cr in (256, 320, None)
     }
     for pkl_path in pkls:
         with open(pkl_path, "rb") as f:
@@ -156,12 +156,12 @@ def evaluate_real275_parallel(
             mask = res["pred_masks"][:, :, i].astype(bool)
             # same crop decision as the serial driver (estimate_instance)
             ys, xs = np.where(mask)
-            fits = len(xs) > 0 and max(
-                xs.max() - xs.min() + 1, ys.max() - ys.min() + 1
-            ) <= 320
-            work[(cat_name, 320 if fits else None)].append(
-                (img_idx, i, depth, mask, sub)
+            ext_px = (
+                max(xs.max() - xs.min() + 1, ys.max() - ys.min() + 1)
+                if len(xs) else 10**9
             )
+            cr = 256 if ext_px <= 256 else (320 if ext_px <= 320 else None)
+            work[(cat_name, cr)].append((img_idx, i, depth, mask, sub))
 
     # pass 2: per (category, crop) group, flush sharded batches
     for (cat_name, crop), items in work.items():

@@ -19,6 +19,9 @@ class Neighbors(NamedTuple):
     idx: jax.Array    # (N, K) int32 neighbor indices (self included, sorted by distance)
     dist: jax.Array   # (N, K) float32 Euclidean distances
     valid: jax.Array  # (N, K) bool — within radius and both endpoints valid
+    rel: jax.Array    # (N, K, 3) float32 neighbor - query offsets; computed
+                      # once here (a (8192, 48, 3) gather measured 1.4 ms on
+                      # v5e — consumers must NOT re-gather points[idx])
 
 
 def knn_radius_neighbors(
@@ -26,7 +29,7 @@ def knn_radius_neighbors(
     valid: jax.Array,
     radius: float,
     k: int,
-    query_chunk: int = 2048,
+    query_chunk: int = 8192,
     exact: bool = False,
 ) -> Neighbors:
     """K nearest neighbors within `radius` for every point, fixed shape.
@@ -78,7 +81,12 @@ def knn_radius_neighbors(
         d2 = qsq[:, None] + sq[None, :] - 2.0 * cross
         if exact:
             neg_d2, idx = jax.lax.top_k(-d2, k)
-            return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx.astype(jnp.int32)
+            diff = pts[idx] - q[:, None, :]
+            return (
+                jnp.sqrt(jnp.maximum(-neg_d2, 0.0)),
+                idx.astype(jnp.int32),
+                diff,
+            )
         # pack the column index into the value; select values-only.
         # aggregate_to_topk=False keeps the PartialReduce fast path — the
         # default aggregation lowers to a FULL (C, N) sort on this backend
@@ -95,18 +103,19 @@ def knn_radius_neighbors(
         # exact distances for the selected pairs, elementwise
         diff = pts[idx] - q[:, None, :]
         dist = jnp.linalg.norm(diff, axis=-1)
-        return dist, idx
+        return dist, idx, diff
 
     num_chunks = -(-n // query_chunk)
     pad = num_chunks * query_chunk - n
     q_all = jnp.pad(pts, ((0, pad), (0, 0))).reshape(num_chunks, query_chunk, 3)
-    dist_all, idx_all = jax.lax.map(one_chunk, q_all)
+    dist_all, idx_all, rel_all = jax.lax.map(one_chunk, q_all)
     dist = dist_all.reshape(-1, k)[:n]
     idx_all = idx_all.reshape(-1, k)[:n]
+    rel = rel_all.reshape(-1, k, 3)[:n]
 
     # neighbor validity needs no gather of `valid`: invalid points are parked
     # at 1e6, so any such neighbor fails the radius test from a valid query
     # (a pred[N,K] gather measured 4.2 ms at 8192x64 on v5e — 20% of the whole
     # preprocess program); invalid queries are zeroed by the valid[:, None].
     nb_valid = (dist <= radius) & valid[:, None]
-    return Neighbors(idx_all, dist, nb_valid)
+    return Neighbors(idx_all, dist, nb_valid, rel)

@@ -36,11 +36,12 @@ def estimate_normals(
     if viewpoint is None:
         viewpoint = jnp.zeros((3,), dtype=points.dtype)
 
-    nb = points[neighbors.idx]                       # (N, K, 3)
+    rel = neighbors.rel                              # (N, K, 3) nb - point
     w = neighbors.valid.astype(points.dtype)         # (N, K)
     cnt = jnp.sum(w, axis=-1, keepdims=True)
-    centroid = jnp.sum(nb * w[..., None], axis=-2) / jnp.maximum(cnt, 1.0)
-    d = (nb - centroid[:, None, :]) * w[..., None]
+    # centered offsets: (nb - centroid) == rel - weighted-mean(rel)
+    rel_mean = jnp.sum(rel * w[..., None], axis=-2) / jnp.maximum(cnt, 1.0)
+    d = (rel - rel_mean[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", d, d)
     _, vecs = sym_eig3x3(cov)
     normal = vecs[..., 2]                            # smallest-eigenvalue column

@@ -49,8 +49,7 @@ def shot_lrf(points: jax.Array, neighbors: Neighbors, radius: float) -> jax.Arra
         (N, 3, 3) with rows [x, y, z] of the LRF (so `frame @ vec` maps a world
         offset into LRF coordinates).
     """
-    nb = points[neighbors.idx]                       # (N, K, 3)
-    rel = nb - points[:, None, :]
+    rel = neighbors.rel                              # (N, K, 3)
     w = jnp.maximum(radius - neighbors.dist, 0.0) * neighbors.valid
     wsum = jnp.sum(w, axis=-1, keepdims=True)
     cov = jnp.einsum("nk,nki,nkj->nij", w, rel, rel) / jnp.maximum(wsum[..., None], _EPS)
@@ -119,8 +118,7 @@ def compute_shot(
         (N, 352) float32, L2-normalized per point (zero rows when empty).
     """
     frames = shot_lrf(points, neighbors, radius)          # (N, 3, 3) rows x,y,z
-    nb = points[neighbors.idx]
-    rel = nb - points[:, None, :]
+    rel = neighbors.rel
     local = jnp.einsum("nab,nkb->nka", frames, rel)       # (N, K, 3) LRF coords
     d = neighbors.dist
     nb_normal = normals[neighbors.idx]
@@ -216,8 +214,7 @@ def compute_cshot(
     shape_desc = compute_shot(points, normals, neighbors, radius)
 
     frames = shot_lrf(points, neighbors, radius)
-    nb = points[neighbors.idx]
-    rel = nb - points[:, None, :]
+    rel = neighbors.rel
     local = jnp.einsum("nab,nkb->nka", frames, rel)
     d = neighbors.dist
     contrib = neighbors.valid & (d > _EPS)

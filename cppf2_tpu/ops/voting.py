@@ -150,7 +150,9 @@ def vote_center(
         # early levels only localize the window — a pair subsample suffices;
         # the final two levels vote with every pair for full statistical power
         coarse = level < levels - 2
-        sub = n_pairs // 4 if coarse and n_pairs >= 4096 else n_pairs
+        # coarse levels only localize a 16^3 window — 1/8 of the pairs gives
+        # ~100k vote samples, ample SNR for a 4096-cell argmax
+        sub = n_pairs // 8 if coarse and n_pairs >= 8192 else n_pairs
         # fine levels: the previous peak is localized to ~±1 previous cell
         # (±4 new cells), so a narrower span with fewer samples covers it at
         # *higher* arc density than the coarse 1.2-span/16-sample setting —

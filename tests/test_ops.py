@@ -65,7 +65,11 @@ class TestNeighbors:
         valid = np.ones(200, bool)
         radius, k = 0.05, 16
         out = knn_radius_neighbors(jnp.asarray(pts), jnp.asarray(valid), radius, k, query_chunk=64)
-        idx, dist, nv = map(np.asarray, out)
+        idx, dist, nv, rel = map(np.asarray, out)
+        # rel carries neighbor - query offsets (consumers must not re-gather)
+        np.testing.assert_allclose(
+            np.linalg.norm(rel, axis=-1)[nv], dist[nv], atol=1e-4
+        )
         D = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
         for i in [0, 17, 99, 199]:
             order = np.argsort(D[i])[:k]
@@ -85,7 +89,7 @@ class TestNeighbors:
         out = knn_radius_neighbors(
             jnp.asarray(pts), jnp.asarray(valid), 0.05, 12, query_chunk=64, exact=True
         )
-        idx, dist, nv = map(np.asarray, out)
+        idx, dist, nv, rel = map(np.asarray, out)
         D = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
         for i in [0, 63, 127]:
             order = np.argsort(D[i])[:12]
@@ -96,7 +100,7 @@ class TestNeighbors:
         valid = np.ones(50, bool)
         valid[25:] = False
         out = knn_radius_neighbors(jnp.asarray(pts), jnp.asarray(valid), 1.0, 8)
-        idx, _, nv = map(np.asarray, out)
+        idx, _, nv, _ = map(np.asarray, out)
         assert np.all(idx[nv] < 25)
         assert not nv[30].any()  # invalid query row has no valid neighbors
 
