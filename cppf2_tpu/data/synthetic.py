@@ -51,6 +51,36 @@ class SynthFrame(NamedTuple):
     pixel_yx: jax.Array  # (n_max, 2) pixel of each cloud point
 
 
+def _frame_from_render(
+    depth, gray, r_obj, t_obj, scale, bound_canon, intrinsics, res, key,
+    n_max, shot_k,
+):
+    """Shared tail of the frame builders: rendered (depth, gray) -> padded
+    cloud + features + canonical frame (the pc_canon invariant lives HERE
+    and only here — see CLAUDE.md)."""
+    pts_all, pixel_yx, valid_all = backproject_masked(
+        depth, intrinsics, depth > 0
+    )
+    ds = voxel_downsample(pts_all, valid_all, res, n_max, key)
+    pc = jnp.where(ds.valid[:, None], pts_all[ds.indices], 0.0)
+    pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
+
+    shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
+
+    flip = jnp.asarray(_FLIP)
+    rot = flip @ r_obj
+    trans = flip @ t_obj
+    bound = bound_canon * scale
+    scale_norm = jnp.max(bound)
+    pc_canon = ((pc - trans) @ rot) / scale_norm
+    pc_canon = jnp.where(ds.valid[:, None], pc_canon, 0.0)
+    return SynthFrame(
+        pc, pc_canon, shot, normal, ds.valid,
+        jnp.minimum(ds.count, n_max), bound, rot, trans, scale_norm,
+        gray, depth, pix,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("res", "n_max", "height", "width", "shot_k", "texture"),
@@ -72,26 +102,9 @@ def _device_frame(
         samples, sample_normals, r_obj, t_obj, scale, intrinsics,
         height=height, width=width, lighting=lighting, albedo=albedo,
     )
-    pts_all, pixel_yx, valid_all = backproject_masked(
-        depth, intrinsics, depth > 0
-    )
-    ds = voxel_downsample(pts_all, valid_all, res, n_max, key)
-    pc = jnp.where(ds.valid[:, None], pts_all[ds.indices], 0.0)
-    pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
-
-    shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
-
-    flip = jnp.asarray(_FLIP)
-    rot = flip @ r_obj
-    trans = flip @ t_obj
-    bound = bound_canon * scale
-    scale_norm = jnp.max(bound)
-    pc_canon = ((pc - trans) @ rot) / scale_norm
-    pc_canon = jnp.where(ds.valid[:, None], pc_canon, 0.0)
-    return SynthFrame(
-        pc, pc_canon, shot, normal, ds.valid,
-        jnp.minimum(ds.count, n_max), bound, rot, trans, scale_norm,
-        gray, depth, pix,
+    return _frame_from_render(
+        depth, gray, r_obj, t_obj, scale, bound_canon, intrinsics, res, key,
+        n_max, shot_k,
     )
 
 
@@ -115,26 +128,9 @@ def _device_frame_raster(
         verts, faces, r_obj, t_obj, scale, intrinsics,
         height=height, width=width, lighting=lighting, albedo_key=albedo_key,
     )
-    pts_all, pixel_yx, valid_all = backproject_masked(
-        depth, intrinsics, depth > 0
-    )
-    ds = voxel_downsample(pts_all, valid_all, res, n_max, key)
-    pc = jnp.where(ds.valid[:, None], pts_all[ds.indices], 0.0)
-    pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
-
-    shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
-
-    flip = jnp.asarray(_FLIP)
-    rot = flip @ r_obj
-    trans = flip @ t_obj
-    bound = bound_canon * scale
-    scale_norm = jnp.max(bound)
-    pc_canon = ((pc - trans) @ rot) / scale_norm
-    pc_canon = jnp.where(ds.valid[:, None], pc_canon, 0.0)
-    return SynthFrame(
-        pc, pc_canon, shot, normal, ds.valid,
-        jnp.minimum(ds.count, n_max), bound, rot, trans, scale_norm,
-        gray, depth, pix,
+    return _frame_from_render(
+        depth, gray, r_obj, t_obj, scale, bound_canon, intrinsics, res, key,
+        n_max, shot_k,
     )
 
 
@@ -237,9 +233,17 @@ class SyntheticFrameGenerator:
             )
             if self.renderer == "raster":
                 # subdivide coarse faces below the fragment-grid size
-                # (canonical meshes are ~unit sized: 1/48 ≈ 6 px at close range)
-                sv, sf = subdivide_mesh(m, max_edge=1.0 / 48.0)
-                verts, faces = _pad_mesh(sv, sf)
+                # (canonical meshes are ~unit sized: 1/48 ≈ 6 px at close
+                # range); a fixed caller-supplied mesh is subdivided once,
+                # not per frame/retry
+                if mesh is not None and getattr(self, "_subdiv_for", None) is mesh:
+                    verts, faces = self._subdiv_cache
+                else:
+                    sv, sf = subdivide_mesh(m, max_edge=1.0 / 48.0)
+                    verts, faces = _pad_mesh(sv, sf)
+                    if mesh is not None:
+                        self._subdiv_for = mesh
+                        self._subdiv_cache = (verts, faces)
                 frame = _device_frame_raster(
                     jnp.asarray(verts), jnp.asarray(faces),
                     jnp.asarray(r_obj), jnp.asarray(t_obj), scale,

@@ -27,7 +27,12 @@ import numpy as np
 
 from cppf2_tpu.config import CATEGORIES, PipelineConfig, SYNSET_NAMES, get_category
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
-from cppf2_tpu.infer.frontend import mask_bbox, preprocess_frame, resize_crop
+from cppf2_tpu.infer.frontend import (
+    auto_crop,
+    mask_bbox,
+    preprocess_frame,
+    resize_crop,
+)
 from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
 from cppf2_tpu.models import DinoBranch, ShotBranch
 
@@ -152,18 +157,18 @@ def estimate_instance(
     # dense-pass crop: the bbox is known host-side; use the windowed fast
     # path when the instance fits (most REAL275 instances), full-frame else
     if crop == "auto":
-        bb = mask_bbox(mask)
-        ext_px = max(bb[2] - bb[0], bb[3] - bb[1]) if bb else 10**9
-        crop = 256 if ext_px <= 256 else (320 if ext_px <= 320 else None)
+        crop = auto_crop(mask)
     fi = preprocess_frame(
         jnp.asarray(depth_m.astype(np.float32)), jnp.asarray(mask),
         jnp.asarray(intrinsics.astype(np.float32)), k1,
         res=cat.res, n_max=pipe.n_points, shot_k=pipe.neighbor_k, crop=crop,
     )
-    count = int(fi.count)
+    # ONE host fetch for everything the guards/descriptor path need (each
+    # np.asarray/int() through the relay costs ~80 ms — CLAUDE.md)
+    count, pc_host, pix_host = jax.device_get((fi.count, fi.pc, fi.pixel_yx))
+    count = int(count)
     if count < 32:
         return None
-    pc_host = np.asarray(fi.pc)
     extent = pc_host[: count].max(0) - pc_host[: count].min(0)
     if extent.max() / cat.res > 1000:  # degenerate-extent guard (eval.py:200)
         return None
@@ -173,7 +178,7 @@ def estimate_instance(
         rgb_masked = np.where(mask[..., None], rgb, 0).astype(np.uint8)
         bbox = mask_bbox(mask)
         crop, transform = resize_crop(rgb_masked, bbox=bbox, out_size=256)
-        kp = np.asarray(fi.pixel_yx)[:, ::-1].astype(np.float64)  # (n, xy)
+        kp = pix_host[:, ::-1].astype(np.float64)  # (n, xy)
         kp_local = (np.linalg.inv(transform) @ np.concatenate(
             [kp, np.ones((len(kp), 1))], -1).T).T[:, :2]
         desc = np.asarray(
@@ -185,11 +190,14 @@ def estimate_instance(
         models.dino_params, models.shot_params,
         fi.pc, fi.valid, fi.count, jnp.asarray(desc), fi.shot, fi.normal, k2,
     )
+    rot, trans, scale, snorm, loss = jax.device_get(
+        (est.rotation, est.translation, est.scale, est.scale_norm, est.loss)
+    )
     rt = np.eye(4)
-    rt[:3, :3] = np.asarray(est.rotation) * float(est.scale_norm)
-    rt[:3, 3] = np.asarray(est.translation)
-    scales = np.asarray(est.scale) / max(float(est.scale_norm), 1e-9)
-    return rt, scales, float(est.loss)
+    rt[:3, :3] = np.asarray(rot) * float(snorm)
+    rt[:3, 3] = np.asarray(trans)
+    scales = np.asarray(scale) / max(float(snorm), 1e-9)
+    return rt, scales, float(loss)
 
 
 def evaluate_real275(

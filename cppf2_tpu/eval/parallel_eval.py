@@ -33,7 +33,7 @@ from cppf2_tpu.eval.driver import (
     load_category_models,
 )
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
-from cppf2_tpu.infer.frontend import preprocess_frame
+from cppf2_tpu.infer.frontend import auto_crop, preprocess_frame
 from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
 from cppf2_tpu.parallel import make_mesh
 
@@ -130,6 +130,7 @@ def evaluate_real275_parallel(
     key = jax.random.key(seed)
     results: List[Dict] = []
     paths: List[str] = []
+    depth_paths: List[str] = []
     work: Dict = {
         (c, cr): [] for c in CATEGORIES for cr in (256, 320, None)
     }
@@ -141,27 +142,23 @@ def evaluate_real275_parallel(
         image_path = os.path.join(
             image_root, os.path.relpath(res["image_path"], "data/real/test")
         )
-        depth = cv2.imread(image_path + "_depth.png", -1).astype(np.float32) / 1000.0
         n_inst = len(res["pred_class_ids"])
         res["pred_RTs"] = np.stack([np.eye(4) for _ in range(n_inst)])
         res["pred_scales"] = np.ones((n_inst, 3))
         img_idx = len(results)
         results.append(res)
         paths.append(pkl_path)
+        depth_paths.append(image_path + "_depth.png")
         for i in range(n_inst):
             cat_name = SYNSET_NAMES[int(res["pred_class_ids"][i])]
             if cat_name not in CATEGORIES:
                 continue
             key, sub = jax.random.split(key)
             mask = res["pred_masks"][:, :, i].astype(bool)
-            # same crop decision as the serial driver (estimate_instance)
-            ys, xs = np.where(mask)
-            ext_px = (
-                max(xs.max() - xs.min() + 1, ys.max() - ys.min() + 1)
-                if len(xs) else 10**9
-            )
-            cr = 256 if ext_px <= 256 else (320 if ext_px <= 320 else None)
-            work[(cat_name, cr)].append((img_idx, i, depth, mask, sub))
+            # depth is loaded per flushed chunk in pass 2 (holding every
+            # frame's depth map for the whole run costs ~3 GB on full REAL275)
+            cr = auto_crop(mask)  # same decision as estimate_instance
+            work[(cat_name, cr)].append((img_idx, i, mask, sub))
 
     # pass 2: per (category, crop) group, flush sharded batches
     for (cat_name, crop), items in work.items():
@@ -174,14 +171,26 @@ def evaluate_real275_parallel(
         for lo in range(0, len(items), bsz):
             chunk = items[lo : lo + bsz]
             pad = -len(chunk) % n_dev
-            depths = np.stack([c[2] for c in chunk] + [chunk[-1][2]] * pad)
-            masks = np.stack([c[3] for c in chunk] + [chunk[-1][3]] * pad)
-            keys = jnp.stack([c[4] for c in chunk] + [chunk[-1][4]] * pad)
+            memo: Dict[int, np.ndarray] = {}
+
+            def _depth(idx):
+                if idx not in memo:
+                    memo[idx] = (
+                        cv2.imread(depth_paths[idx], -1).astype(np.float32)
+                        / 1000.0
+                    )
+                return memo[idx]
+
+            depths = np.stack(
+                [_depth(c[0]) for c in chunk] + [_depth(chunk[-1][0])] * pad
+            )
+            masks = np.stack([c[2] for c in chunk] + [chunk[-1][2]] * pad)
+            keys = jnp.stack([c[3] for c in chunk] + [chunk[-1][3]] * pad)
             rot, trans, scale, snorm, loss, count, ext = jax.tree.map(
                 np.asarray,
                 fn(jnp.asarray(depths), jnp.asarray(masks), keys),
             )
-            for j, (img_idx, inst_idx, _, _, _) in enumerate(chunk):
+            for j, (img_idx, inst_idx, _, _) in enumerate(chunk):
                 # degenerate guards, matching estimate_instance
                 if count[j] < 32 or ext[j] / CATEGORIES[cat_name].res > 1000:
                     continue

@@ -69,6 +69,24 @@ def mask_bbox(mask: np.ndarray):
     return (int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1)
 
 
+def auto_crop(mask: np.ndarray, tiers=(256, 320)):
+    """Pick the dense-pass crop window for an instance mask (host side).
+
+    Shared by the serial and parallel eval drivers so their (category, crop)
+    graph grouping stays in lockstep. The -4 margin guarantees the on-device
+    bbox-centered window (see `preprocess_frame`) contains every masked pixel
+    despite integer-division rounding.
+    """
+    bb = mask_bbox(mask)
+    if bb is None:
+        return None
+    ext = max(bb[2] - bb[0], bb[3] - bb[1])
+    for t in tiers:
+        if ext <= t - 4:
+            return t
+    return None
+
+
 class FrameInputs(NamedTuple):
     pc: jax.Array         # (n_max, 3)
     valid: jax.Array      # (n_max,)
@@ -100,12 +118,22 @@ def preprocess_frame(
     if crop is not None:
         h, w = depth.shape
         c = crop
-        mf = mask.astype(jnp.float32)
-        total = jnp.maximum(jnp.sum(mf), 1.0)
-        cy = jnp.sum(jnp.arange(h, dtype=jnp.float32) * jnp.sum(mf, axis=1)) / total
-        cx = jnp.sum(jnp.arange(w, dtype=jnp.float32) * jnp.sum(mf, axis=0)) / total
-        y0 = jnp.clip(cy.astype(jnp.int32) - c // 2, 0, max(h - c, 0))
-        x0 = jnp.clip(cx.astype(jnp.int32) - c // 2, 0, max(w - c, 0))
+        # center the window on the mask's BBOX center (not its center of
+        # mass): with bbox extent <= crop — the host-side condition for
+        # choosing `crop` — a bbox-centered window provably contains every
+        # masked pixel, while a mass-centered one can truncate skewed masks
+        rows = jnp.any(mask, axis=1)
+        cols = jnp.any(mask, axis=0)
+        ridx = jnp.arange(h, dtype=jnp.int32)
+        cidx = jnp.arange(w, dtype=jnp.int32)
+        y_min = jnp.min(jnp.where(rows, ridx, h))
+        y_max = jnp.max(jnp.where(rows, ridx, -1))
+        x_min = jnp.min(jnp.where(cols, cidx, w))
+        x_max = jnp.max(jnp.where(cols, cidx, -1))
+        cy = jnp.clip((y_min + y_max) // 2, 0, h - 1)
+        cx = jnp.clip((x_min + x_max) // 2, 0, w - 1)
+        y0 = jnp.clip(cy - c // 2, 0, max(h - c, 0))
+        x0 = jnp.clip(cx - c // 2, 0, max(w - c, 0))
         depth = jax.lax.dynamic_slice(depth, (y0, x0), (min(c, h), min(c, w)))
         mask = jax.lax.dynamic_slice(mask, (y0, x0), (min(c, h), min(c, w)))
         # shift the principal point so backprojection stays metric-correct
@@ -119,7 +147,9 @@ def preprocess_frame(
     pc = jnp.where(ds.valid[:, None], pts_all[ds.indices], 0.0)
     pix = jnp.where(ds.valid[:, None], pixel_yx[ds.indices], 0)
     if crop is not None:
-        pix = pix + jnp.stack([y0, x0]).astype(pix.dtype)[None, :]
+        # image-frame pixels; keep invalid rows at the 0 convention
+        off = jnp.stack([y0, x0]).astype(pix.dtype)[None, :]
+        pix = jnp.where(ds.valid[:, None], pix + off, 0)
     shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
     return FrameInputs(pc, ds.valid, jnp.minimum(ds.count, n_max), shot, normal, pix)
 

@@ -39,8 +39,8 @@ def knn_radius_neighbors(
     SURVEY.md §7 hard-part 1).
 
     Selection uses `lax.approx_min_k` — the TPU PartialReduce fast path — at
-    recall_target=0.99 (measured recall 1.0 on surface clouds at N=8192, K=64;
-    exact on CPU where it lowers to a sort). Crucially, only the *values*
+    recall_target=0.95 (measured recall ~1.0 on surface clouds at N=8192,
+    K=48-64; exact on CPU where it lowers to a sort). Crucially, only the *values*
     output of the reduction is consumed: on this chip, materializing the
     custom call's index output costs ~33 ms at (8192, 8192), ~5x the entire
     rest of the search. Instead the column index is packed into the low

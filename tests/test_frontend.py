@@ -138,3 +138,25 @@ class TestPreprocessCrop:
         pxb = np.asarray(b.pixel_yx)[np.asarray(b.valid)]
         assert pxa.min(0).tolist() == pxb.min(0).tolist()
         assert pxa.max(0).tolist() == pxb.max(0).tolist()
+
+    def test_crop_skewed_mask_keeps_all_pixels(self, rng):
+        # regression: a COM-centered window truncated masks whose depth mass
+        # is concentrated away from the bbox center; the window is now
+        # bbox-centered and auto_crop leaves a rounding margin
+        import jax
+        import jax.numpy as jnp
+
+        from cppf2_tpu.infer.frontend import auto_crop, preprocess_frame
+
+        depth = np.zeros((480, 640), np.float32)
+        depth[100:140, 300:420] = 0.8        # dense top
+        depth[140:352:6, 310:316] = 0.8      # sparse tail
+        mask = depth > 0
+        c = auto_crop(mask)
+        assert c == 256
+        k = jnp.asarray([[591.0, 0, 322.0], [0, 590.0, 244.0], [0, 0, 1.0]])
+        a = preprocess_frame(jnp.asarray(depth), jnp.asarray(mask), k,
+                             jax.random.key(0), n_max=16384)
+        b = preprocess_frame(jnp.asarray(depth), jnp.asarray(mask), k,
+                             jax.random.key(0), n_max=16384, crop=c)
+        assert int(a.count) == int(b.count)
