@@ -197,3 +197,24 @@ class TestSphereVoteCone:
         )
         cos = abs(float(np.dot(np.asarray(top[0]), up_world)))
         assert cos > np.cos(np.deg2rad(3.0))
+
+
+class TestHistExactness:
+    def test_int8_matmul_histogram_matches_numpy(self, rng):
+        # the one-hot matmul histogram now accumulates in int32 — counts must
+        # be EXACT against a numpy oracle (bf16 accumulation rounded above
+        # 256 votes/cell)
+        from cppf2_tpu.ops.voting import _hist16_matmul
+
+        cand = rng.uniform(-0.1, 0.1, size=(20000, 3)).astype(np.float32)
+        ok = rng.uniform(size=20000) < 0.9
+        lo = jnp.asarray([-0.1, -0.1, -0.1], jnp.float32)
+        cell = jnp.asarray([0.0125, 0.0125, 0.0125], jnp.float32)
+        center, count = _hist16_matmul(
+            jnp.asarray(cand), jnp.asarray(ok), lo, cell
+        )
+        ids = np.floor((cand - np.asarray(lo)) / np.asarray(cell) + 0.5).astype(int)
+        inside = (ids >= 0).all(1) & (ids < 16).all(1) & ok
+        flat = (ids[inside][:, 0] * 16 + ids[inside][:, 1]) * 16 + ids[inside][:, 2]
+        hist = np.bincount(flat, minlength=16**3)
+        assert int(count) == int(hist.max())
