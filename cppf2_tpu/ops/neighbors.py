@@ -39,8 +39,8 @@ def knn_radius_neighbors(
     SURVEY.md §7 hard-part 1).
 
     Selection uses `lax.approx_min_k` — the TPU PartialReduce fast path — at
-    recall_target=0.95 (measured recall ~1.0 on surface clouds at N=8192,
-    K=48-64; exact on CPU where it lowers to a sort). Crucially, only the *values*
+    recall_target=0.9 (measured within-radius recall 0.96 on dense surface
+    shells at N=8192, K=48; exact on CPU where it lowers to a sort). Crucially, only the *values*
     output of the reduction is consumed: on this chip, materializing the
     custom call's index output costs ~33 ms at (8192, 8192), ~5x the entire
     rest of the search. Instead the column index is packed into the low
@@ -95,8 +95,12 @@ def knn_radius_neighbors(
         # chunk at (2048, 8192).
         qd2 = jnp.round(jnp.clip(d2, 0.0, r2) * (levels / r2))
         enc = qd2 * n + col[None, :]
+        # recall_target 0.9 halves the reduced width (l=512 vs 1024 at
+        # N=8192) and thus the final exact-top_k sort; measured within-radius
+        # recall 0.96 on dense surface shells — a ~4% perturbation of a
+        # 48-neighbor soft-binned histogram, validated end-metric
         red, _ = jax.lax.approx_min_k(
-            enc, k, recall_target=0.95, aggregate_to_topk=False
+            enc, k, recall_target=0.9, aggregate_to_topk=False
         )
         enc_k = -jax.lax.top_k(-red, k)[0]
         idx = jnp.mod(enc_k, float(n)).astype(jnp.int32)
