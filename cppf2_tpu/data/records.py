@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import ctypes
 import struct
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
@@ -24,7 +24,11 @@ _FIELD_STRUCT = struct.Struct("<32sII4QQ")  # name, dtype, ndim, shape[4], offse
 
 
 class RecordWriter:
-    """Stream records of a fixed schema into a container file."""
+    """Stream records of a fixed schema into a container file.
+
+    Records go straight to disk (the header's record count is patched on
+    close), so dumping a reference-scale 120k-record dataset holds one
+    record in memory, not the file."""
 
     def __init__(self, path: str, schema: Dict[str, tuple]):
         """schema: name -> (shape tuple, dtype)."""
@@ -38,31 +42,35 @@ class RecordWriter:
             self.fields.append((name, tuple(shape), dt, offset))
             offset += nbytes
         self.stride = offset
-        self._buf: List[bytes] = []
+        self.n = 0
+        self._f = open(path, "wb")
+        self._f.write(_MAGIC)
+        self._count_pos = self._f.tell()
+        self._f.write(struct.pack("<QQQ", 0, len(self.fields), self.stride))
+        for name, shape, dt, off in self.fields:
+            shp = list(shape) + [0] * (4 - len(shape))
+            self._f.write(
+                _FIELD_STRUCT.pack(
+                    name.encode()[:32].ljust(32, b"\0"),
+                    _DTYPE_IDS[dt], len(shape), *shp, off,
+                )
+            )
 
     def append(self, record: Dict[str, np.ndarray]):
-        parts = []
         for name, shape, dt, _ in self.fields:
             arr = np.asarray(record[name], dtype=dt)
             want = tuple(shape)
             assert int(arr.size) == int(np.prod(want or (1,))), (name, arr.shape, want)
-            parts.append(arr.reshape(want).tobytes())
-        self._buf.append(b"".join(parts))
+            self._f.write(arr.reshape(want).tobytes())
+        self.n += 1
 
     def close(self):
-        with open(self.path, "wb") as f:
-            f.write(_MAGIC)
-            f.write(struct.pack("<QQQ", len(self._buf), len(self.fields), self.stride))
-            for name, shape, dt, offset in self.fields:
-                shp = list(shape) + [0] * (4 - len(shape))
-                f.write(
-                    _FIELD_STRUCT.pack(
-                        name.encode()[:32].ljust(32, b"\0"),
-                        _DTYPE_IDS[dt], len(shape), *shp, offset,
-                    )
-                )
-            for rec in self._buf:
-                f.write(rec)
+        if self._f is None:
+            return
+        self._f.seek(self._count_pos)
+        self._f.write(struct.pack("<Q", self.n))
+        self._f.close()
+        self._f = None
 
     def __enter__(self):
         return self

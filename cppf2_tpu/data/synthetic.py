@@ -236,13 +236,19 @@ class SyntheticFrameGenerator:
                 # (canonical meshes are ~unit sized: 1/48 ≈ 6 px at close
                 # range); a fixed caller-supplied mesh is subdivided once,
                 # not per frame/retry
-                if mesh is not None and getattr(self, "_subdiv_for", None) is mesh:
+                # cache key = identity + a content fingerprint, so a caller
+                # that mutates the same mesh tuple's arrays in place still
+                # gets fresh subdivided geometry
+                fp = None
+                if mesh is not None:
+                    fp = (id(mesh), m[0].shape, float(np.sum(m[0])))
+                if fp is not None and getattr(self, "_subdiv_for", None) == fp:
                     verts, faces = self._subdiv_cache
                 else:
                     sv, sf = subdivide_mesh(m, max_edge=1.0 / 48.0)
                     verts, faces = _pad_mesh(sv, sf)
-                    if mesh is not None:
-                        self._subdiv_for = mesh
+                    if fp is not None:
+                        self._subdiv_for = fp
                         self._subdiv_cache = (verts, faces)
                 frame = _device_frame_raster(
                     jnp.asarray(verts), jnp.asarray(faces),

@@ -80,13 +80,58 @@ class CategoryModels:
         return self._pose_fns[k]
 
 
+def _reference_ckpt_path(root: str, branch: str, name: str):
+    """Locate a reference-release Lightning checkpoint for a category.
+
+    The reference evaluates from `{root}/{branch}/{name}-num_more-3/
+    lightning_logs/version_0/checkpoints/last.ckpt` with a hydra cfg sidecar
+    at `{...}-num_more-3/.hydra/config.yaml` (eval.py:88-99); a flat
+    `{root}/{branch}/{name}/last.ckpt` is accepted too."""
+    pats = [
+        os.path.join(root, branch, f"{name}-num_more-*", "lightning_logs",
+                     "version_*", "checkpoints", "last.ckpt"),
+        os.path.join(root, branch, name, "last.ckpt"),
+    ]
+    for p in pats:
+        hits = sorted(glob.glob(p))
+        if hits:
+            return hits[-1]
+    return None
+
+
+def _check_hydra_sidecar(ckpt_path: str, cat) -> None:
+    """Validate the run's hydra cfg against the category (tuple size must
+    match the compiled pipeline; a mismatch would silently mis-shape the
+    MLP inputs). The sidecar is optional — bare ckpts load unchecked."""
+    d = os.path.dirname(ckpt_path)
+    for _ in range(4):
+        cand = os.path.join(d, ".hydra", "config.yaml")
+        if os.path.exists(cand):
+            import re
+
+            with open(cand) as f:
+                text = f.read()
+            m = re.search(r"^\s*num_more:\s*(\d+)", text, re.M)
+            if m and int(m.group(1)) + 2 != cat.tuple_size:
+                raise ValueError(
+                    f"{cand}: num_more={m.group(1)} implies tuple size "
+                    f"{int(m.group(1)) + 2}, but category '{cat.name}' uses "
+                    f"{cat.tuple_size}"
+                )
+            return
+        d = os.path.dirname(d)
+
+
 def load_category_models(
-    ckpt_root: str, categories=None, infer_dtype: str = "float32"
+    ckpt_root: str, categories=None, infer_dtype: str = "bfloat16"
 ) -> Dict[str, CategoryModels]:
     """Restore per-category branch checkpoints from `{root}/{branch}/{cat}`.
 
-    Missing checkpoints fall back to randomly initialized params (the pipeline
-    still runs; accuracy requires training — BASELINE.md path (b))."""
+    Accepts, in order of preference: packed `params.msgpack`, an orbax run
+    directory, or a reference-release Lightning `last.ckpt` tree (ported via
+    `models/porting.py` — BASELINE.md parity path (a)). Missing checkpoints
+    fall back to randomly initialized params (the pipeline still runs;
+    accuracy requires training — BASELINE.md path (b))."""
     from cppf2_tpu.train.checkpoints import (
         latest_checkpoint,
         load_params_msgpack,
@@ -109,14 +154,21 @@ def load_category_models(
         for branch in ("shot", "dino"):
             if not ckpt_root:
                 continue
-            # prefer packed pretrained params, else the latest orbax run ckpt
+            # prefer packed pretrained params, else the latest orbax run
+            # ckpt, else a reference-release Lightning checkpoint tree
             packed = os.path.join(ckpt_root, branch, name, "params.msgpack")
             last = latest_checkpoint(os.path.join(ckpt_root, branch, name))
+            ref_ck = _reference_ckpt_path(ckpt_root, branch, name)
             params = None
             if os.path.exists(packed):
                 params = load_params_msgpack(packed, sp if branch == "shot" else dp)
             elif last:
                 params = restore_params(last)
+            elif ref_ck:
+                from cppf2_tpu.models.porting import load_beyondcppf_checkpoint
+
+                _check_hydra_sidecar(ref_ck, cat)
+                params = load_beyondcppf_checkpoint(ref_ck, branch)
             if params is not None:
                 if branch == "shot":
                     sp = params

@@ -45,8 +45,10 @@ def _match_greedy(overlaps: np.ndarray, pred_cls: np.ndarray, gt_cls: np.ndarray
                     break
                 if pred_cls[i] != gt_cls[j]:
                     continue
+                # at v == thr exactly the reference neither matches nor stops
+                # (util.py:1743-1751: `< thr` breaks, only `> thr` matches)
                 if larger_is_better and v <= thr:
-                    break
+                    continue
                 gt_matches[s, j] = i
                 pred_matches[s, i] = j
                 break

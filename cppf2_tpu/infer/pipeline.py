@@ -48,6 +48,9 @@ class PoseEstimate(NamedTuple):
     scale: jax.Array         # (3,) anisotropic bound (metric)
     scale_norm: jax.Array    # () |scale|
     loss: jax.Array          # () reconstruction loss used for ensembling
+    # () int32 winning-branch id from the ensemble arbiter (0 = visual,
+    # 1 = geometric), for pick-rate diagnostics; None on single-branch paths
+    pick: Optional[jax.Array] = None
 
 
 class _BranchPose(NamedTuple):
@@ -229,6 +232,13 @@ def estimate_pose_branch_restarts(
     reference uses for ensemble selection (eval.py:358-372). Kills both
     near-miss axis errors and gross yaw flips at linear extra on-chip cost —
     the restart axis is vmapped, so it batches like the branch axis.
+
+    Memory note: vmapping the restart axis scales peak HBM linearly with
+    `restarts` at full `num_pairs` (the ensemble path's `pipe.restarts`
+    deliberately uses sequential `lax.map` instead — same memory as one
+    pass). At the production config (3 restarts x 50k pairs) the transient
+    is ~100 MB — fine on a 16 GB chip; for large restart counts prefer
+    `estimate_pose_ensemble` with `pipe.restarts`.
     """
 
     def one(k):
@@ -285,16 +295,24 @@ def estimate_pose_ensemble(
         i = jnp.argmin(ests.loss)
         return jax.tree.map(lambda x: x[i], ests)
 
+    assert use_visual or use_geo, "at least one branch must be enabled"
     sphere_pts = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
     k_tuple, k_dino, k_shot = jax.random.split(key, 3)
     u = jax.random.uniform(k_tuple, (pipe.num_pairs, 5))
     tuple_idx = jnp.floor(u * count).astype(jnp.int32)
 
-    preds_d = dino_apply(dino_params, points, tuple_idx)
-    preds_s = shot_apply(shot_params, points, tuple_idx)
-    logits = jnp.stack([preds_d.logits, preds_s.logits])
-    scales = jnp.stack([preds_d.scales, preds_s.scales])
-    keys = jnp.stack([k_dino, k_shot])
+    # only the *enabled* branches' MLPs run (use_visual/use_geo are static
+    # under jit): a disabled branch contributes no MXU work. The visual
+    # branch, when enabled, is always index 0 — so index 0's scale is the
+    # reference's precedence (visual first, eval.py:308-316) in every mode.
+    branches = []
+    if use_visual:
+        branches.append((dino_apply(dino_params, points, tuple_idx), k_dino))
+    if use_geo:
+        branches.append((shot_apply(shot_params, points, tuple_idx), k_shot))
+    logits = jnp.stack([p.logits for p, _ in branches])
+    scales = jnp.stack([p.scales for p, _ in branches])
+    keys = jnp.stack([k for _, k in branches])
 
     poses = jax.vmap(
         functools.partial(
@@ -304,23 +322,22 @@ def estimate_pose_ensemble(
         in_axes=(0, 0, None, None, None, None, 0),
     )(logits, scales, points, point_valid, count, tuple_idx, keys)
 
-    # the geo branch reuses the visual branch's scale estimate (eval.py:308-316)
-    # — unless the visual branch is disabled, in which case its (possibly
-    # untrained) scale head must not leak into the output
-    scale = poses.scale[0] if use_visual else poses.scale[1]
+    scale = poses.scale[0]
     scale_norm = jnp.linalg.norm(scale)
     losses = jax.vmap(
         functools.partial(_recon_loss, up_sym=cat.up_sym), in_axes=(None, 0, None)
     )(points, poses, scale_norm)
 
-    loss_d = jnp.where(use_visual, losses[0], jnp.inf)
-    loss_s = jnp.where(use_geo, losses[1], jnp.inf)
-    pick = jnp.where(loss_d <= loss_s, 0, 1)
-
+    # ties go to the visual branch, like the reference's `<=` arbitration
+    pick = jnp.argmin(losses)
+    # report the branch id in the fixed [visual=0, geo=1] convention even
+    # when only the geo branch ran
+    branch_id = pick if use_visual else pick + 1
     return PoseEstimate(
         poses.rotation[pick],
         poses.translation[pick],
         scale,
         scale_norm,
-        jnp.minimum(loss_d, loss_s),
+        losses[pick],
+        branch_id.astype(jnp.int32),
     )

@@ -62,6 +62,9 @@ def knn_radius_neighbors(
     """
     n = points.shape[0]
     k = min(k, n)
+    # never pad a small cloud up to a full default-sized chunk (2x distance
+    # work at n=4096): clamp to n rounded up to a lane multiple
+    query_chunk = min(query_chunk, max(-(-n // 256) * 256, 256))
     pts = jnp.where(valid[:, None], points, 1e6)  # park invalid points far away
     sq = jnp.sum(pts * pts, axis=-1)
     r2 = radius * radius

@@ -49,27 +49,6 @@ class CenterVote(NamedTuple):
     peak_count: jax.Array   # () vote count at the winning fine cell
 
 
-def _hist_argmax_sorted(flat_ids: jax.Array, valid: jax.Array, num_bins: int):
-    """Mode of integer ids via sort + run-length scan — no scatter.
-
-    TPU scatter-add serializes heavily (~145M updates/s measured on v5e);
-    sort + associative scans are parallel-friendly (~bandwidth-bound). Invalid
-    ids are parked on a sentinel that sorts last and is excluded from argmax.
-
-    Returns (best_id, count_at_best).
-    """
-    sentinel = jnp.int32(num_bins)
-    ids = jnp.where(valid, flat_ids, sentinel)
-    s = jnp.sort(ids)
-    pos = jnp.arange(s.shape[0], dtype=jnp.int32)
-    start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(start, pos, -1))
-    run_len = pos - run_start + 1
-    run_len = jnp.where(s == sentinel, 0, run_len)
-    best = jnp.argmax(run_len)
-    return s[best], run_len[best]
-
-
 def _hist16_matmul(cand: jax.Array, ok: jax.Array, lo: jax.Array, cell: jax.Array):
     """Joint 16^3 histogram of candidate points as two one-hot matmuls.
 
@@ -111,6 +90,10 @@ def vote_center(
     levels: int = 4,
     samples_per_level: int = 16,
     fine_samples: int = 12,
+    # fine_span assumes the coarse pyramid localizes the center to ~±1
+    # previous-level cell, so the narrowed theta arc always contains each
+    # pair's optimal candidate. Validated end-metric at the default
+    # levels/samples_per_level; re-check this margin if those change.
     fine_span: float = 0.65,
 ) -> CenterVote:
     """Pyramid Hough vote for the object center.

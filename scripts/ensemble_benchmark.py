@@ -1,0 +1,267 @@
+"""Trained two-branch ensemble accuracy benchmark (synthetic, all categories).
+
+The reference's core inference contract is the SHOT+DINO ensemble with
+per-branch reconstruction-loss arbitration (eval.py:219, 358-372). This script
+produces the trained-ensemble numbers: per category it
+
+  1. loads the round-2 SHOT-branch checkpoint (`--shot-ckpts`), or trains one;
+  2. trains the DINO branch on textured, randomly-lit renders through the ViT
+     extractor (random fixed backbone — no pretrained weights exist in this
+     zero-egress sandbox; the *path* is identical to the real one);
+  3. evaluates `estimate_pose_ensemble` (both trained branches competing,
+     best-of-N restarts) on >= `--frames` held-out frames, logging the
+     per-branch pick rate, per-frame errors, Wilson CIs and the NOCS mAP
+     artifact set; optionally each branch alone for attribution
+     (`--per-branch-cats`).
+
+    python scripts/ensemble_benchmark.py --out benchmarks/synthetic_r3_ensemble
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppf2_tpu.config import CATEGORIES, PipelineConfig, SYNSET_NAMES
+from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
+from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
+from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
+from cppf2_tpu.infer.frontend import preprocess_frame
+from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
+from cppf2_tpu.models import DinoBranch, ShotBranch
+from cppf2_tpu.train.checkpoints import export_params_msgpack, load_params_msgpack
+
+
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial rate."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    den = 1 + z * z / n
+    mid = (p + z * z / (2 * n)) / den
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    return (max(0.0, mid - half), min(1.0, mid + half))
+
+
+def load_shot_params(shot_root, cat_name, cat):
+    model = ShotBranch(tuple_size=cat.tuple_size)
+    i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
+    ref = model.init(
+        jax.random.key(0), jnp.zeros((16, 3)), jnp.zeros((16, 352)),
+        jnp.zeros((16, 3)), i0,
+    )
+    path = os.path.join(shot_root, "shot", cat_name, "params.msgpack")
+    if not os.path.exists(path):
+        return model, None
+    return model, load_params_msgpack(path, ref)
+
+
+def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
+                  extractor, n_frames, pipe, n_points, seed, progress,
+                  per_branch=False):
+    """Held-out eval through the full two-branch ensemble graph."""
+    from cppf2_tpu.train.driver import _frame_descriptors
+
+    cat = CATEGORIES[cat_name]
+    gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed + 77)
+    cls_id = cat.category_id
+
+    @jax.jit
+    def preprocess_only(depth, key):
+        return preprocess_frame(depth, depth > 0, gen.intrinsics, key,
+                                res=cat.res, n_max=n_points, shot_k=48)
+
+    def make_pose(use_visual, use_geo):
+        @jax.jit
+        def pose(fi, desc, key):
+            def dino_apply(p, pts, ti):
+                return dino_model.apply(p, pts, desc, ti)
+
+            def shot_apply(p, pts, ti):
+                return shot_model.apply(p, pts, fi.shot, fi.normal, ti)
+
+            return estimate_pose_ensemble(
+                dino_apply, dino_params, shot_apply, shot_params,
+                fi.pc, fi.valid, fi.count, key, cat, pipe, run_opt=True,
+                use_visual=use_visual, use_geo=use_geo,
+            )
+        return pose
+
+    pose_both = make_pose(True, True)
+    pose_each = (make_pose(True, False), make_pose(False, True)) if per_branch else None
+
+    def to_row(est, i, f, handle_vis):
+        rt = np.eye(4)
+        rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
+        rt[:3, 3] = np.asarray(est.translation)
+        scales = np.asarray(est.scale) / max(float(est.scale_norm), 1e-9)
+        gt_rt = np.eye(4)
+        gt_rt[:3, :3] = np.asarray(f.rotation) * float(f.scale_norm)
+        gt_rt[:3, 3] = np.asarray(f.translation)
+        res = {
+            "image_path": f"synth_{i}",
+            "gt_class_ids": np.array([cls_id]),
+            "gt_RTs": gt_rt[None],
+            "gt_scales": (np.asarray(f.bound) / float(f.scale_norm))[None],
+            "gt_handle_visibility": np.array([handle_vis]),
+            "pred_class_ids": np.array([cls_id]),
+            "pred_RTs": rt[None],
+            "pred_scales": scales[None],
+            "pred_scores": np.array([1.0]),
+        }
+        err = pose_error_degree_cm(rt, gt_rt, cat_name, handle_visibility=handle_vis)
+        return res, err
+
+    results, errs, picks, vis = [], [], [], []
+    branch_errs = {"dino": [], "shot": []}
+    t0 = time.time()
+    for i in range(n_frames):
+        f = gen.next_frame()
+        handle_vis = getattr(gen, "last_handle_visible", 1)
+        vis.append(handle_vis)
+        key = jax.random.key(1000 + i)
+        fi = preprocess_only(f.depth, key)
+        fd = f._replace(pixel_yx=fi.pixel_yx)
+        desc = jnp.asarray(_frame_descriptors(fd, extractor))
+        est = pose_both(fi, desc, jax.random.fold_in(key, 1))
+        picks.append(int(est.pick))
+        row, err = to_row(est, i, f, handle_vis)
+        results.append(row)
+        errs.append(err)
+        if per_branch:
+            for name, fn in zip(("dino", "shot"), pose_each):
+                eb = fn(fi, desc, jax.random.fold_in(key, 1))
+                _, err_b = to_row(eb, i, f, handle_vis)
+                branch_errs[name].append(err_b)
+        if (i + 1) % 25 == 0:
+            progress(f"[{cat_name}] eval {i + 1}/{n_frames} "
+                     f"({(time.time() - t0) / (i + 1):.1f} s/frame)")
+    errs = np.asarray(errs)
+    picks = np.asarray(picks)
+    ok = (errs[:, 0] < 5) & (errs[:, 1] < 5)
+    lo, hi = wilson_ci(int(ok.sum()), len(ok))
+    progress(
+        f"[{cat_name}] {n_frames} frames: median {np.median(errs[:, 0]):.1f} deg "
+        f"/ {np.median(errs[:, 1]):.2f} cm, 5d5cm {ok.mean():.3f} "
+        f"[{lo:.2f}, {hi:.2f}], visual-pick {np.mean(picks == 0):.2f}"
+    )
+    out = {
+        "median_deg": float(np.median(errs[:, 0])),
+        "median_cm": float(np.median(errs[:, 1])),
+        "deg5cm5": float(ok.mean()),
+        "deg5cm5_ci95": [lo, hi],
+        "visual_pick_rate": float(np.mean(picks == 0)),
+        "n_frames": n_frames,
+    }
+    if per_branch:
+        for name in ("dino", "shot"):
+            be = np.asarray(branch_errs[name])
+            okb = (be[:, 0] < 5) & (be[:, 1] < 5)
+            out[f"{name}_only_deg5cm5"] = float(okb.mean())
+            out[f"{name}_only_median_deg"] = float(np.median(be[:, 0]))
+    return results, errs, picks, np.asarray(vis), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--categories", nargs="+", default=list(CATEGORIES))
+    ap.add_argument("--dino-steps", type=int, default=20000)
+    ap.add_argument("--dino-steps-asym", type=int, default=30000,
+                    help="training budget for mug/camera (hard categories)")
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--n-points", type=int, default=4096)
+    ap.add_argument("--tuples", type=int, default=8192)
+    ap.add_argument("--pool", type=int, default=100)
+    ap.add_argument("--refresh-every", type=int, default=50)
+    ap.add_argument("--num-pairs", type=int, default=20000)
+    ap.add_argument("--restarts", type=int, default=3)
+    ap.add_argument("--shot-ckpts", default="ckpts_r2")
+    ap.add_argument("--save-ckpts", default="ckpts_r3")
+    ap.add_argument("--per-branch-cats", nargs="*", default=["mug", "camera"],
+                    help="also evaluate each branch alone for these categories")
+    ap.add_argument("--out", default="benchmarks/synthetic_r3_ensemble")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from synthetic_benchmark import _make_extractor, train_one
+
+    extractor = _make_extractor(args.seed)
+    pipe = PipelineConfig(n_points=args.n_points, num_pairs=args.num_pairs,
+                          restarts=args.restarts)
+    os.makedirs(args.out, exist_ok=True)
+    all_results, summary = [], {}
+    for cat_name in args.categories:
+        cat = CATEGORIES[cat_name]
+        shot_model, shot_params = load_shot_params(args.shot_ckpts, cat_name, cat)
+        assert shot_params is not None, (
+            f"no SHOT checkpoint for {cat_name} under {args.shot_ckpts}")
+        hard = cat_name in ("mug", "camera")
+        steps = args.dino_steps_asym if hard else args.dino_steps
+        dino_model, dino_state = train_one(
+            cat_name, steps, args.n_points, args.tuples,
+            150 if hard else args.pool, args.seed, print,
+            refresh_every=40 if hard else args.refresh_every,
+            branch="dino", extractor=extractor,
+            handle_visible=(cat_name == "mug"),
+        )
+        dino_params = jax.device_get(dino_state.params)
+        if args.save_ckpts:
+            path = export_params_msgpack(
+                os.path.join(args.save_ckpts, "dino", cat_name, "params.msgpack"),
+                dino_params,
+            )
+            print(f"[{cat_name}] saved dino params {path}")
+            # ship a complete per-round set: copy the shot ckpt alongside
+            src = os.path.join(args.shot_ckpts, "shot", cat_name, "params.msgpack")
+            dst = os.path.join(args.save_ckpts, "shot", cat_name, "params.msgpack")
+            if os.path.abspath(src) != os.path.abspath(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+
+        results, errs, picks, vis, cat_summary = eval_ensemble(
+            cat_name, shot_model, shot_params, dino_model, dino_params,
+            extractor, args.frames, pipe, args.n_points, args.seed, print,
+            per_branch=cat_name in (args.per_branch_cats or []),
+        )
+        all_results += results
+        summary[cat_name] = cat_summary
+        np.savez(os.path.join(args.out, f"errors_{cat_name}.npz"),
+                 errs=errs, picks=picks, handle_visible=vis)
+        # checkpoint the summary as we go (long run)
+        with open(os.path.join(args.out, "summary_partial.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+    iou_aps, pose_aps = compute_degree_cm_map(
+        all_results, SYNSET_NAMES, args.out,
+        degree_thresholds=(5, 10, 15), shift_thresholds=(5, 10, 15),
+        iou_3d_thresholds=tuple(np.linspace(0, 1, 101)),
+        iou_pose_thres=0.1, use_matches_for_pose=True,
+    )
+    out = {
+        "per_category": summary,
+        "mean_iou25": float(np.nanmean(iou_aps[1:-1, 25])),
+        "mean_iou50": float(np.nanmean(iou_aps[1:-1, 50])),
+        "mean_5deg5cm": float(np.nanmean(pose_aps[1:-1, 0, 0])),
+        "mean_10deg10cm": float(np.nanmean(pose_aps[1:-1, 1, 1])),
+        "frames_per_cat": args.frames,
+        "restarts": args.restarts,
+        "num_pairs": args.num_pairs,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

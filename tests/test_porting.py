@@ -160,3 +160,110 @@ class TestBeyondCPPFPorting:
         )
         assert out.logits.shape == (4, 6, 32)
         assert load_beyondcppf_checkpoint(str(tmp_path / "missing.ckpt"), "shot") is None
+
+
+class TestReleaseLayoutDressRehearsal:
+    """Full parity-path rehearsal for real released checkpoints: build the
+    reference's on-disk release tree (hydra sidecar + lightning_logs/.../
+    last.ckpt, eval.py:88-99), load through `load_category_models`, and drive
+    the ported weights through the complete pose graph — asserting logit
+    congruence against the torch forward on the way."""
+
+    def _write_release_tree(self, root, cat_name, branch, module):
+        d = root / branch / f"{cat_name}-num_more-3"
+        ck = d / "lightning_logs" / "version_0" / "checkpoints"
+        ck.mkdir(parents=True)
+        (d / ".hydra").mkdir()
+        (d / ".hydra" / "config.yaml").write_text(
+            f"category:\n  name: {cat_name}\nnum_more: 3\nres: 0.002\n"
+        )
+        torch.save(
+            {"state_dict": module.state_dict(), "epoch": 100,
+             "global_step": 20200},
+            ck / "last.ckpt",
+        )
+
+    def test_release_tree_to_pose(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from cppf2_tpu.config import PipelineConfig, get_category
+        from cppf2_tpu.eval.driver import load_category_models
+
+        torch.manual_seed(3)
+        tshot, tdino = _TorchShot().eval(), _TorchDino().eval()
+        self._write_release_tree(tmp_path, "can", "shot", tshot)
+        self._write_release_tree(tmp_path, "can", "dino", tdino)
+
+        models = load_category_models(
+            str(tmp_path), ["can"], infer_dtype="float32"
+        )["can"]
+
+        # 1) the loaded params reproduce the torch forward exactly
+        pts, shot, nrm, desc, idx = _inputs(rng, n=128, t=32)
+        with torch.no_grad():
+            t_logits, _ = tshot(
+                torch.from_numpy(pts), torch.from_numpy(shot),
+                torch.from_numpy(nrm), torch.from_numpy(idx).long(),
+            )
+            d_logits, _ = tdino(
+                torch.from_numpy(pts), torch.from_numpy(desc),
+                torch.from_numpy(idx).long(),
+            )
+        j_shot = models.shot_model.apply(
+            models.shot_params, jnp.asarray(pts), jnp.asarray(shot),
+            jnp.asarray(nrm), jnp.asarray(idx),
+        )
+        j_dino = models.dino_model.apply(
+            models.dino_params, jnp.asarray(pts), jnp.asarray(desc),
+            jnp.asarray(idx),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_shot.logits), t_logits.numpy(), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_dino.logits), d_logits.numpy(), atol=2e-4
+        )
+
+        # 2) the loaded models drive the full ensemble pose graph
+        from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
+
+        cat = get_category("can")
+        pipe = PipelineConfig(
+            n_points=128, num_pairs=256, opt_steps=2, angle_tol_deg=10.0
+        )
+        n = 128
+        pc = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.05)
+        dj = jnp.asarray(desc)
+
+        def dino_apply(p, points, ti):
+            return models.dino_model.apply(p, points, dj, ti)
+
+        sh, nj = jnp.asarray(shot), jnp.asarray(nrm)
+
+        def shot_apply(p, points, ti):
+            return models.shot_model.apply(p, points, sh, nj, ti)
+
+        est = estimate_pose_ensemble(
+            dino_apply, models.dino_params, shot_apply, models.shot_params,
+            pc, jnp.ones(n, bool), jnp.int32(n), jax.random.key(0), cat, pipe,
+        )
+        assert np.isfinite(np.asarray(est.rotation)).all()
+        assert np.isfinite(float(est.loss))
+        assert int(est.pick) in (0, 1)
+
+    def test_sidecar_tuple_size_mismatch_raises(self, tmp_path):
+        import pytest
+
+        from cppf2_tpu.eval.driver import load_category_models
+
+        torch.manual_seed(4)
+        tm = _TorchShot().eval()
+        d = tmp_path / "shot" / "can-num_more-3"
+        ck = d / "lightning_logs" / "version_0" / "checkpoints"
+        ck.mkdir(parents=True)
+        (d / ".hydra").mkdir()
+        # wrong num_more: implies tuple size 6, category uses 5
+        (d / ".hydra" / "config.yaml").write_text("num_more: 4\n")
+        torch.save({"state_dict": tm.state_dict()}, ck / "last.ckpt")
+        with pytest.raises(ValueError, match="num_more"):
+            load_category_models(str(tmp_path), ["can"], infer_dtype="float32")
