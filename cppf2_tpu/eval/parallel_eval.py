@@ -48,6 +48,7 @@ def make_batched_instance_fn(
     use_geo: bool = True,
     intrinsics: np.ndarray = REAL275_INTRINSICS,
     crop=None,
+    axis: str = "data",
 ):
     """Jitted (depths, masks, keys) -> batched pose outputs, batch axis
     sharded over the mesh. Each element runs the same graph as
@@ -88,7 +89,10 @@ def make_batched_instance_fn(
             est.loss, fi.count, jnp.max(ext),
         )
 
-    data = NamedSharding(mesh, P("data"))
+    # on a two-level (dcn, data) slice mesh pass axis="dcn": images shard
+    # across slices (no cross-slice collectives exist in this graph) and the
+    # per-instance program replicates over the slice's ICI axis
+    data = NamedSharding(mesh, P(axis))
     batched = jax.vmap(one)
     return jax.jit(
         batched,

@@ -94,9 +94,12 @@ class FrameInputs(NamedTuple):
     shot: jax.Array       # (n_max, 352)
     normal: jax.Array     # (n_max, 3)
     pixel_yx: jax.Array   # (n_max, 2) image pixels per point (for DINO sampling)
+    window_yx: jax.Array = None  # (2,) int32 crop-window origin ((0,0) uncropped)
+                                 # — lets a fused visual frontend slice the RGB
+                                 # at the exact same window in-graph
 
 
-@partial(jax.jit, static_argnames=("res", "n_max", "shot_k", "crop"))
+@partial(jax.jit, static_argnames=("res", "n_max", "shot_k", "crop", "exact_knn"))
 def preprocess_frame(
     depth: jax.Array,       # (H, W) meters
     mask: jax.Array,        # (H, W) bool instance mask
@@ -106,6 +109,7 @@ def preprocess_frame(
     n_max: int = 8192,
     shot_k: int = 64,
     crop: Optional[int] = None,
+    exact_knn: bool = False,
 ) -> FrameInputs:
     """depth+mask -> padded downsampled cloud + SHOT features (eval.py:185-216).
 
@@ -150,8 +154,13 @@ def preprocess_frame(
         # image-frame pixels; keep invalid rows at the 0 convention
         off = jnp.stack([y0, x0]).astype(pix.dtype)[None, :]
         pix = jnp.where(ds.valid[:, None], pix + off, 0)
-    shot, normal = compute_shot_features(pc, ds.valid, res * 10, k=shot_k)
-    return FrameInputs(pc, ds.valid, jnp.minimum(ds.count, n_max), shot, normal, pix)
+    shot, normal = compute_shot_features(
+        pc, ds.valid, res * 10, k=shot_k, exact=exact_knn
+    )
+    return FrameInputs(
+        pc, ds.valid, jnp.minimum(ds.count, n_max), shot, normal, pix,
+        jnp.stack([y0, x0]).astype(jnp.int32),
+    )
 
 
 def dilate_mask(mask: np.ndarray, size: int = 5, largest_comp: bool = False) -> np.ndarray:

@@ -50,11 +50,96 @@ class ViTConfig:
     # that avoids the (T, T) HBM tensors entirely
     attn_impl: str = "hbm"
     attn_chunk: int = 512
+    attn_block_q: int = 256   # pallas kernel query-block rows
+    # linear-layer quantization: "none" keeps bf16 matmuls; "int8" runs the
+    # qkv/proj/mlp contractions as W8A8 (per-channel weight scales x
+    # per-token activation scales) on the MXU's 2x int8 path — weights must
+    # first pass through `quantize_vit_params` (DinoFeatureExtractor does
+    # this automatically). Attention stays bf16.
+    quant: str = "none"
 
 
 VIT_L14 = ViTConfig()
 VIT_S14 = ViTConfig(embed_dim=384, depth=12, num_heads=6)
 VIT_B14 = ViTConfig(embed_dim=768, depth=12, num_heads=12)
+
+
+class _QDense(nn.Module):
+    """Dense layer with an optional W8A8 int8 fast path.
+
+    Param layout matches `nn.Dense` ({kernel, bias}) plus a `qscale`
+    per-output-channel dequant scale, so ported f32 checkpoints drop in and
+    `quantize_vit_params` converts them in place (kernel -> int8, qscale ->
+    max|w|/127 per column). At apply time the path is chosen by the kernel's
+    dtype: int8 kernels run a dynamic per-token activation quant and an
+    int8 x int8 -> int32 MXU contraction (2x the bf16 rate on v5e);
+    anything else falls back to the plain bf16 matmul.
+    """
+
+    features: int
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        d_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_in, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        qscale = self.param(
+            "qscale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        if kernel.dtype == jnp.int8:
+            ax = (
+                jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+                / 127.0
+            )
+            ax = jnp.maximum(ax, 1e-12)
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / ax), -127, 127
+            ).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, kernel, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                y.astype(jnp.float32) * ax * qscale[None, :] + bias
+            ).astype(dt)
+        return (x.astype(dt) @ kernel.astype(dt)) + bias.astype(dt)
+
+
+def quantize_vit_params(variables, cfg: ViTConfig = VIT_L14):
+    """Convert a DinoViT param tree to the int8 W8A8 layout in place.
+
+    Every transformer Dense kernel (qkv/proj/mlp_fc1/mlp_fc2) becomes an int8
+    matrix with a per-output-channel `qscale = max|w_col| / 127`; LayerNorm,
+    LayerScale, patch embed and embeddings stay as they are. Use with a
+    `ViTConfig(quant="int8")` model.
+    """
+    import copy
+
+    variables = copy.deepcopy(jax.device_get(variables))
+    params = variables["params"]
+
+    def q(dense):
+        w = np.asarray(dense["kernel"], np.float32)
+        s = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+        dense["kernel"] = np.clip(np.round(w / s[None, :]), -127, 127).astype(
+            np.int8
+        )
+        dense["qscale"] = s.astype(np.float32)
+
+    for i in range(cfg.depth):
+        blk = params[f"block{i}"]
+        q(blk["attn"]["qkv"])
+        q(blk["attn"]["proj"])
+        q(blk["mlp_fc1"])
+        q(blk["mlp_fc2"])
+    return variables
 
 
 class _Attention(nn.Module):
@@ -72,13 +157,16 @@ class _Attention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, t_real=None):
         d = self.cfg.embed_dim
         h = self.cfg.num_heads
         hd = d // h
         t = x.shape[0]
         dt = jnp.dtype(self.cfg.compute_dtype)
-        qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)
+        if self.cfg.quant == "int8":
+            qkv = _QDense(3 * d, self.cfg, name="qkv")(x)
+        else:
+            qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         qh = (q * (1.0 / np.sqrt(hd))).reshape(t, h, hd).transpose(1, 0, 2)
@@ -89,7 +177,10 @@ class _Attention(nn.Module):
             from cppf2_tpu.ops.pallas_attention import mha_pallas
             from cppf2_tpu.ops.pallas_kernels import on_tpu
 
-            o = mha_pallas(qh, kh, vh, interpret=not on_tpu())
+            o = mha_pallas(
+                qh, kh, vh, block_q=self.cfg.attn_block_q,
+                interpret=not on_tpu(), t_real=t_real, out_dtype=dt,
+            )
         elif self.cfg.attn_impl == "chunked":
             o = _chunked_attention(qh, kh, vh, self.cfg.attn_chunk, dt)
         else:
@@ -99,6 +190,8 @@ class _Attention(nn.Module):
             s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
             o = jnp.einsum("hts,hsd->htd", e, vh, preferred_element_type=jnp.float32) / s
         out = o.transpose(1, 0, 2).reshape(t, d).astype(dt)
+        if self.cfg.quant == "int8":
+            return _QDense(d, self.cfg, name="proj")(out)
         return nn.Dense(d, name="proj", dtype=dt)(out)
 
 
@@ -150,7 +243,7 @@ class _Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, t_real=None):
         c = self.cfg
         ls1 = self.param(
             "ls1", lambda k: jnp.full((c.embed_dim,), c.layerscale_init, jnp.float32)
@@ -160,12 +253,18 @@ class _Block(nn.Module):
         )
         dt = jnp.dtype(c.compute_dtype)
         x = x + ls1 * _Attention(c, name="attn")(
-            nn.LayerNorm(name="norm1")(x)
+            nn.LayerNorm(name="norm1")(x), t_real
         ).astype(jnp.float32)
-        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), name="mlp_fc1", dtype=dt)(
-            nn.LayerNorm(name="norm2")(x)
-        )
-        h = nn.Dense(c.embed_dim, name="mlp_fc2", dtype=dt)(nn.gelu(h))
+        if c.quant == "int8":
+            h = _QDense(int(c.embed_dim * c.mlp_ratio), c, name="mlp_fc1")(
+                nn.LayerNorm(name="norm2")(x)
+            )
+            h = _QDense(c.embed_dim, c, name="mlp_fc2")(nn.gelu(h))
+        else:
+            h = nn.Dense(int(c.embed_dim * c.mlp_ratio), name="mlp_fc1", dtype=dt)(
+                nn.LayerNorm(name="norm2")(x)
+            )
+            h = nn.Dense(c.embed_dim, name="mlp_fc2", dtype=dt)(nn.gelu(h))
         return x + ls2 * h.astype(jnp.float32)
 
 
@@ -180,10 +279,7 @@ class DinoViT(nn.Module):
         p = c.patch_size
         gh, gw = img.shape[0] // p, img.shape[1] // p
         x = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        x = nn.Conv(
-            c.embed_dim, (p, p), strides=(p, p), padding="VALID", name="patch_embed"
-        )(x[None])[0]
-        x = x.reshape(gh * gw, c.embed_dim)
+        x = _PatchEmbed(c, name="patch_embed")(x, gh, gw)
 
         cls_tok = self.param(
             "cls_token", nn.initializers.zeros, (1, c.embed_dim), jnp.float32
@@ -202,10 +298,55 @@ class DinoViT(nn.Module):
         x = x + pos_patch.reshape(gh * gw, c.embed_dim)
         tokens = jnp.concatenate([cls_tok + pos[:1], x], axis=0)
 
+        # pad the token axis ONCE for the whole stack on the pallas path:
+        # per-layer pad/slice of three (h, T, hd) tensors measured ~4 ms of
+        # pure layout traffic at ViT-L/T=4097. Padded rows are zeros; they
+        # normalize to zeros, are masked out as attention *keys* via t_real,
+        # and get sliced off at the end.
+        t_real = tokens.shape[0]
+        if c.attn_impl == "pallas":
+            t_pad = -(-t_real // c.attn_block_q) * c.attn_block_q
+            tokens = jnp.pad(tokens, ((0, t_pad - t_real), (0, 0)))
+
         for i in range(c.depth):
-            tokens = _Block(c, name=f"block{i}")(tokens)
+            tokens = _Block(c, name=f"block{i}")(tokens, t_real)
         tokens = nn.LayerNorm(name="norm")(tokens)
-        return tokens[1:].reshape(gh, gw, c.embed_dim)
+        return tokens[1:t_real].reshape(gh, gw, c.embed_dim)
+
+
+class _PatchEmbed(nn.Module):
+    """Patch embedding as an explicit unfold + matmul.
+
+    Equivalent to the stride-p VALID conv (params keep nn.Conv's
+    {kernel (p, p, 3, D), bias} layout so torch porting is unchanged), but
+    ~17x faster on this chip: the conv lowering measured 1.8 ms for a
+    4.9 GFLOP op (2.8 TFLOP/s), while patch extraction is a pure reshape and
+    the contraction is a plain (T, p*p*3) x (p*p*3, D) MXU matmul.
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, gh: int, gw: int):
+        c = self.cfg
+        p = c.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, 3, c.embed_dim),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c.embed_dim,), jnp.float32
+        )
+        dt = jnp.dtype(c.compute_dtype)
+        patches = (
+            x.reshape(gh, p, gw, p, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(gh * gw, p * p * 3)
+        )
+        w = kernel.reshape(p * p * 3, c.embed_dim)
+        return patches.astype(dt) @ w.astype(dt) + bias.astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -281,11 +422,23 @@ class DinoFeatureExtractor:
         """Keep frozen weights in the compute dtype: reading 300M params as
         f32 and casting per forward costs ~100 ms/call on this chip; storing
         kernels in bf16 measured 222 -> 121 ms for the ViT-L forward. 1-D
-        params (LayerNorm/LayerScale/biases) stay f32."""
-        if params is None or jnp.dtype(self.cfg.compute_dtype) == jnp.float32:
+        params (LayerNorm/LayerScale/biases) stay f32. With quant="int8",
+        transformer Dense kernels are quantized once here and left int8."""
+        if params is None:
+            return params
+        if self.cfg.quant == "int8":
+            leaves = jax.tree.leaves(params)
+            if not any(jnp.dtype(x.dtype) == jnp.int8 for x in leaves):
+                params = quantize_vit_params(params, self.cfg)
+        if jnp.dtype(self.cfg.compute_dtype) == jnp.float32:
             return params
         dt = jnp.dtype(self.cfg.compute_dtype)
-        return jax.tree.map(lambda x: x.astype(dt) if x.ndim >= 2 else x, params)
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if (x.ndim >= 2 and jnp.dtype(x.dtype) != jnp.int8)
+            else x,
+            params,
+        )
 
     def init_random(self, hw=(256, 256), seed=0):
         h, w = hw
@@ -305,6 +458,40 @@ class DinoFeatureExtractor:
         """image: (H, W, 3) in [0,1]; pts_xy: (K, 2) crop-pixel coords."""
         assert self.params is not None, "load or init DINOv2 params first"
         return self._jit(self.params, image, pts_xy, tuple(image.shape[:2]))
+
+
+def masked_window_descriptors(
+    model: "DinoViT",
+    params,
+    rgb: jax.Array,        # (H, W, 3) float in [0,1], full frame
+    mask: jax.Array,       # (H, W) bool instance mask
+    pixel_yx: jax.Array,   # (n, 2) int image pixels per cloud point
+    window_yx: jax.Array,  # (2,) int crop-window origin (FrameInputs.window_yx)
+    crop: int = 256,
+    stride: int = 4,
+) -> jax.Array:
+    """Fully in-graph visual frontend: window-slice the masked RGB, resize,
+    run the ViT, and bilinearly sample patch tokens at the cloud's pixels.
+
+    The jit-fused analog of the host path (`eval/driver.py::estimate_instance`:
+    resize_crop + DinoFeatureExtractor), using the *same* bbox-centered
+    window `preprocess_frame` used for the depth — so depth, SHOT and
+    descriptors come out of ONE compiled program with zero host hops. Unlike
+    the reference's bbox-square scaling (dataset.py:322-337) the window is a
+    fixed `crop` size, so the object keeps its native pixel scale; train and
+    eval stay consistent because both run through this function.
+    """
+    y0, x0 = window_yx[0], window_yx[1]
+    h, w = rgb.shape[:2]
+    c = min(crop, h) if isinstance(h, int) else crop
+    img = jax.lax.dynamic_slice(rgb, (y0, x0, jnp.int32(0)), (c, min(crop, w), 3))
+    m = jax.lax.dynamic_slice(mask, (y0, x0), (c, min(crop, w)))
+    img = img * m[..., None]
+    ph, pw = img.shape[0] // stride, img.shape[1] // stride
+    resized = jax.image.resize(img, (ph * 14, pw * 14, 3), method="bilinear")
+    grid = model.apply(params, resized)
+    kp_xy = (pixel_yx[:, ::-1] - jnp.stack([x0, y0])[None, :]).astype(jnp.float32)
+    return interpolate_features(grid, kp_xy, img.shape[:2], stride)
 
 
 # ---------------------------------------------------------------------------

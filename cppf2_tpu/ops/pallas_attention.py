@@ -44,16 +44,29 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     o_ref[0] = (pv / s).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "interpret", "t_real", "out_dtype")
+)
 def mha_pallas(
     q: jax.Array,   # (h, T, hd) — pre-scaled by 1/sqrt(hd)
     k: jax.Array,   # (h, T, hd)
     v: jax.Array,   # (h, T, hd)
     block_q: int = 256,
     interpret: bool = False,
+    t_real: int = None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
-    """Full-softmax attention; returns (h, T, hd) f32."""
+    """Full-softmax attention; returns (h, T, hd) in `out_dtype`.
+
+    `t_real` marks the number of real tokens when the caller already padded T
+    (DinoViT pads the token axis ONCE for the whole 24-layer stack — per-layer
+    pads/slices cost ~4 ms of pure layout traffic at ViT-L scale); keys at or
+    beyond `t_real` are masked out, padded query rows produce garbage the
+    caller slices off.
+    """
     h, t, hd = q.shape
+    if t_real is None:
+        t_real = t
     t_pad = -(-t // block_q) * block_q
     pad = t_pad - t
     qb = jnp.pad(q.astype(jnp.bfloat16), ((0, 0), (0, pad), (0, 0)))
@@ -61,8 +74,8 @@ def mha_pallas(
     vb = jnp.pad(v.astype(jnp.bfloat16), ((0, 0), (0, pad), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, t_real=t),
-        out_shape=jax.ShapeDtypeStruct((h, t_pad, hd), jnp.float32),
+        functools.partial(_mha_kernel, t_real=t_real),
+        out_shape=jax.ShapeDtypeStruct((h, t_pad, hd), out_dtype),
         grid=(h, t_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda hh, i: (hh, i, 0)),

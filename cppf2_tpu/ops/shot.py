@@ -160,6 +160,7 @@ def compute_shot_features(
     valid: jax.Array,
     radius: float,
     k: int = 96,
+    exact: bool = False,
 ):
     """Normals + SHOT descriptors in one call — the drop-in analog of the
     reference's `shot.compute(pc, normal_r, shot_r)` with normal_r == shot_r
@@ -170,7 +171,7 @@ def compute_shot_features(
     """
     from cppf2_tpu.ops.normals import estimate_normals
 
-    nbrs = knn_radius_neighbors(points, valid, radius, k)
+    nbrs = knn_radius_neighbors(points, valid, radius, k, exact=exact)
     normals = estimate_normals(points, nbrs)
     desc = compute_shot(points, normals, nbrs, radius)
     return desc, normals

@@ -31,6 +31,64 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_slice_mesh(n_slices: int = 2, chips_per_slice: int = 4) -> Mesh:
+    """Two-level (slice, chip) mesh for multi-pod scaling.
+
+    Axis layout follows the DCN-outer convention (scaling-book recipe): the
+    leading `dcn` axis crosses slices (slow interconnect — only image-level,
+    embarrassingly-parallel work should shard over it), the trailing `data`
+    axis stays within a slice (ICI — tuple/vote collectives ride here).
+    On real hardware, device order from `jax.devices()` already groups chips
+    by slice, so reshaping to (n_slices, chips_per_slice) puts each row's
+    collectives on ICI.
+    """
+    n = n_slices * chips_per_slice
+    devs = jax.devices()
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]).reshape(n_slices, chips_per_slice),
+                ("dcn", "data"))
+
+
+def image_sharded_tuple_vote(
+    dirs_b: jax.Array,      # (B, V, 3) per-image candidate directions
+    weights_b: jax.Array,   # (B, V)
+    sphere_pts: jax.Array,  # (S, 3)
+    angle_tol_deg: float,
+    mesh: Mesh,
+):
+    """Two-level sharded sphere vote: images over the slow `dcn` axis, each
+    image's vote workload over the fast `data` (ICI) axis.
+
+    The psum reduces over `data` ONLY — no collective crosses the DCN axis
+    (each slice owns its images outright), which is exactly the layout rule
+    for multi-slice scaling: DCN carries independent work, ICI carries
+    reductions. Returns ((B, 3) best dirs, (B,) counts).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def local(d, w, sph):
+        # d: (B/n_dcn, V/n_data, 3); w: (B/n_dcn, V/n_data)
+        thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
+        cos = jnp.einsum(
+            "bvc,sc->bvs", d, sph, preferred_element_type=jnp.float32
+        )
+        hits = (cos > thresh).astype(jnp.float32)
+        part = jnp.einsum(
+            "bv,bvs->bs", w.astype(jnp.float32), hits,
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.psum(part, "data")
+
+    counts = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dcn", "data", None), P("dcn", "data"), P(None, None)),
+        out_specs=P("dcn", None),
+    )(dirs_b, weights_b, sphere_pts)
+    best = jnp.argmax(counts, axis=-1)
+    return sphere_pts[best], jnp.take_along_axis(counts, best[:, None], -1)[:, 0]
+
+
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     """Place a batch pytree with the leading (frame) axis sharded over `axis`."""
     sharding = NamedSharding(mesh, P(axis))

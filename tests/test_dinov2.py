@@ -169,3 +169,56 @@ class TestChunkedAttention:
             np.asarray(m_h.apply(p, img)), np.asarray(m_p.apply(p, img)),
             atol=5e-2,  # kernel computes in bf16 q/k/v
         )
+
+
+class TestInt8Quant:
+    def test_quantized_forward_close_to_f32(self, rng):
+        """W8A8 linears (per-channel weight x per-token activation scales)
+        stay close to the f32 forward, and the quantized tree really is
+        int8 (kernel) + qscale."""
+        from cppf2_tpu.models.dinov2 import quantize_vit_params
+
+        kw = dict(embed_dim=64, depth=2, num_heads=4, pretrain_grid=8,
+                  compute_dtype="float32")
+        img = jnp.asarray(rng.uniform(0, 1, (70, 70, 3)).astype(np.float32))
+        cfg_f = ViTConfig(attn_impl="hbm", **kw)
+        cfg_q = ViTConfig(attn_impl="hbm", quant="int8", **kw)
+        m_f = DinoViT(cfg_f)
+        m_q = DinoViT(cfg_q)
+        p_q = m_q.init(jax.random.key(0), img)
+        # strip qscale -> the same weights drive the f32 reference
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(p_q["params"])
+        p_f = {
+            "params": flax.traverse_util.unflatten_dict(
+                {k: v for k, v in flat.items() if k[-1] != "qscale"}
+            )
+        }
+        ref = np.asarray(m_f.apply(p_f, img))
+
+        # pre-quant params run the f32 fallback path: exact match
+        pre = np.asarray(m_q.apply(p_q, img))
+        np.testing.assert_allclose(pre, ref, atol=1e-5)
+
+        qp = quantize_vit_params(p_q, cfg_q)
+        blk = qp["params"]["block0"]["attn"]["qkv"]
+        assert blk["kernel"].dtype == np.int8
+        assert blk["qscale"].shape == (3 * 64,)
+        out = np.asarray(m_q.apply(jax.tree.map(jnp.asarray, qp), img))
+        cos = np.sum(out * ref, -1) / np.maximum(
+            np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1), 1e-12
+        )
+        assert cos.min() > 0.999, f"int8 forward diverged: min cos {cos.min()}"
+
+    def test_extractor_auto_quantizes(self, rng):
+        cfg = ViTConfig(embed_dim=64, depth=2, num_heads=4, pretrain_grid=8,
+                        quant="int8")
+        ex = DinoFeatureExtractor(cfg=cfg, stride=4)
+        ex.init_random(hw=(64, 64))
+        k = ex.params["params"]["block0"]["mlp_fc1"]["kernel"]
+        assert jnp.dtype(k.dtype) == jnp.int8
+        img = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(5, 55, size=(12, 2)).astype(np.float32))
+        feats = np.asarray(ex(img, pts))
+        assert feats.shape == (12, 64) and np.isfinite(feats).all()

@@ -146,3 +146,74 @@ class TestParallelEval:
         np.testing.assert_allclose(pose_p, pose_s, atol=0.05)
         out_pkls = os.listdir(tmp_path / "parallel")
         assert any(p.startswith("results_") for p in out_pkls)
+
+
+class TestSliceMesh:
+    """Two-level (dcn, data) topology: images across slices, tuple votes
+    within a slice; no collective crosses the DCN axis."""
+
+    def test_image_sharded_tuple_vote_matches_dense(self):
+        import jax.numpy as jnp
+
+        from cppf2_tpu.core.geometry import fibonacci_sphere
+        from cppf2_tpu.parallel import image_sharded_tuple_vote, make_slice_mesh
+
+        rng = np.random.default_rng(3)
+        mesh = make_slice_mesh(2, 4)
+        b, v = 4, 256
+        sphere = np.asarray(fibonacci_sphere(179), np.float32)
+        dirs = rng.normal(size=(b, v, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        w = rng.uniform(0.5, 1.5, (b, v)).astype(np.float32)
+        tol = 10.0
+
+        best, counts = image_sharded_tuple_vote(
+            jnp.asarray(dirs), jnp.asarray(w), jnp.asarray(sphere), tol, mesh
+        )
+        # dense single-device oracle
+        thresh = np.cos(np.deg2rad(2 * tol))
+        hits = (dirs @ sphere.T > thresh).astype(np.float32)
+        dense = np.einsum("bv,bvs->bs", w, hits)
+        np.testing.assert_allclose(
+            np.asarray(counts), dense.max(-1), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(best), sphere[dense.argmax(-1)], rtol=1e-6
+        )
+
+    def test_dcn_image_axis_matches_flat_mesh(self):
+        """The same instance batch poses identically whether images shard
+        over a flat 8-device mesh or the dcn axis of a (2, 4) slice mesh."""
+        import jax
+        import jax.numpy as jnp
+
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.eval.driver import load_category_models
+        from cppf2_tpu.eval.parallel_eval import make_batched_instance_fn
+        from cppf2_tpu.parallel import make_mesh, make_slice_mesh
+
+        rng = np.random.default_rng(4)
+        pipe = PipelineConfig(
+            n_points=256, num_pairs=512, opt_steps=2, angle_tol_deg=5.0
+        )
+        models = load_category_models(None, ["can"])["can"]
+        h, w = 96, 128
+        depths = np.zeros((8, h, w), np.float32)
+        depths[:, 30:70, 40:90] = 0.8
+        depths += rng.uniform(0, 2e-3, depths.shape).astype(np.float32)
+        masks = depths > 0.5
+        keys = jax.random.split(jax.random.key(5), 8)
+
+        flat = make_batched_instance_fn(
+            models, "can", pipe, make_mesh(8), run_opt=False
+        )
+        sliced = make_batched_instance_fn(
+            models, "can", pipe, make_slice_mesh(2, 4), run_opt=False,
+            axis="dcn",
+        )
+        a = flat(jnp.asarray(depths), jnp.asarray(masks), keys)
+        b = sliced(jnp.asarray(depths), jnp.asarray(masks), keys)
+        for xa, xb in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(xa), np.asarray(xb), atol=1e-5
+            )
