@@ -59,12 +59,36 @@ def run_frame(
     return draw_pose_overlay(rgb, rt, scales, intrinsics), rt, scales
 
 
+def _read_depth(path: str, depth_scale: float) -> np.ndarray:
+    """Depth frame from .npy (meters, the reference's record3d capture format,
+    demo.py:98) or a 16-bit png (divided by depth_scale)."""
+    import cv2
+
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    return cv2.imread(path, -1).astype(np.float32) / depth_scale
+
+
 def main():
+    import glob as globmod
+
     import cv2
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rgb", required=True, nargs="+")
-    ap.add_argument("--depth", required=True, nargs="+")
+    ap.add_argument("--rgb", nargs="+", default=None,
+                    help="RGB frame files (or use --rgb-dir)")
+    ap.add_argument("--depth", nargs="+", default=None,
+                    help="depth frames: 16-bit png (mm) or .npy (meters)")
+    ap.add_argument("--rgb-dir", default=None,
+                    help="directory of RGB frames, processed sorted — the "
+                         "reference's record3d capture layout (demo.py:96-98)")
+    ap.add_argument("--depth-dir", default=None,
+                    help="directory of depth frames matching --rgb-dir stems")
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--end", type=int, default=None)
+    ap.add_argument("--video-out", default=None,
+                    help="also stitch the overlay sequence into an mp4")
+    ap.add_argument("--fps", type=float, default=15.0)
     ap.add_argument("--mask", nargs="*", default=None)
     ap.add_argument("--auto-mask", action="store_true")
     ap.add_argument("--category", required=True)
@@ -75,10 +99,18 @@ def main():
     ap.add_argument("--no-opt", action="store_true")
     ap.add_argument("--restarts", type=int, default=1,
                     help="best-of-N pose restarts by reconstruction loss")
+    ap.add_argument("--n-points", type=int, default=None)
+    ap.add_argument("--num-pairs", type=int, default=None)
+    ap.add_argument("--angle-tol", type=float, default=None,
+                    help="rotation-vote tolerance in degrees (coarser = faster)")
     args = ap.parse_args()
 
     models = load_category_models(args.ckpts, [args.category])[args.category]
-    pipe = PipelineConfig(restarts=args.restarts)
+    over = {k: v for k, v in (
+        ("n_points", args.n_points), ("num_pairs", args.num_pairs),
+        ("angle_tol_deg", args.angle_tol),
+    ) if v is not None}
+    pipe = PipelineConfig(restarts=args.restarts, **over)
     dino_extractor = None
     if args.dino_ckpt:
         from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, load_dinov2_params
@@ -87,11 +119,34 @@ def main():
         if p is not None:
             dino_extractor = DinoFeatureExtractor(params=p)
 
+    # frame list: explicit files or a sorted capture directory with a
+    # [start:end] window, like the reference's `sorted(glob)[410:700]`
+    if args.rgb_dir:
+        rgb_paths = sorted(
+            p for p in globmod.glob(os.path.join(args.rgb_dir, "*"))
+            if p.lower().endswith((".png", ".jpg", ".jpeg"))
+        )[args.start : args.end]
+        ddir = args.depth_dir or args.rgb_dir.replace("rgb", "depth")
+        depth_paths = []
+        for p in rgb_paths:
+            stem = os.path.splitext(os.path.basename(p))[0]
+            for ext in (".npy", ".png"):
+                cand = os.path.join(ddir, stem + ext)
+                if os.path.exists(cand):
+                    depth_paths.append(cand)
+                    break
+            else:
+                raise SystemExit(f"no depth frame for {stem} under {ddir}")
+    else:
+        assert args.rgb and args.depth, "provide --rgb/--depth or --rgb-dir"
+        rgb_paths, depth_paths = args.rgb, args.depth
+
     os.makedirs(args.out, exist_ok=True)
+    writer = None
     key = jax.random.key(0)
-    for i, (rgb_p, depth_p) in enumerate(zip(args.rgb, args.depth)):
+    for i, (rgb_p, depth_p) in enumerate(zip(rgb_paths, depth_paths)):
         rgb = cv2.imread(rgb_p)[:, :, ::-1]
-        depth = cv2.imread(depth_p, -1).astype(np.float32) / args.depth_scale
+        depth = _read_depth(depth_p, args.depth_scale)
         if args.mask:
             mask = cv2.imread(args.mask[i], -1)
             mask = (mask > 0) if mask.ndim == 2 else (mask.sum(-1) > 0)
@@ -106,11 +161,21 @@ def main():
         )
         out_p = os.path.join(args.out, f"{i:04d}.png")
         cv2.imwrite(out_p, overlay[:, :, ::-1])
+        if args.video_out:
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    args.video_out, cv2.VideoWriter_fourcc(*"mp4v"),
+                    args.fps, (overlay.shape[1], overlay.shape[0]),
+                )
+            writer.write(np.ascontiguousarray(overlay[:, :, ::-1]))
         if rt is not None:
             np.savez(out_p.replace(".png", "_pose.npz"), RT=rt, scales=scales)
             print(f"[demo] {rgb_p}: T={rt[:3, 3]} -> {out_p}")
         else:
             print(f"[demo] {rgb_p}: no pose (degenerate input)")
+    if writer is not None:
+        writer.release()
+        print(f"[demo] wrote {args.video_out}")
 
 
 if __name__ == "__main__":

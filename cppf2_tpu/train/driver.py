@@ -34,23 +34,28 @@ def _frame_descriptors(frame, extractor, out_size: int = 256):
     """DINOv2 descriptors for a synthetic frame's cloud points: crop the
     lambertian render around the depth bbox and sample patch tokens at the
     cloud pixels (the analog of dump_data's descriptor pass,
-    dataset.py:394-402)."""
+    dataset.py:394-402).
+
+    Returns a DEVICE array — the (n, 1024) descriptors feed device-side
+    consumers (train step / pose graph); fetching them to host costs ~1-3 s
+    per frame through the relay (measured: the old np.asarray round-trip made
+    streaming-pool dino training 3x slower end-to-end). The host-side inputs
+    (gray, depth, pixels) come over in ONE batched fetch."""
+    import jax
     import jax.numpy as jnp
 
     from cppf2_tpu.infer.frontend import mask_bbox, resize_crop
 
-    gray = np.asarray(frame.gray)
-    depth = np.asarray(frame.depth)
+    gray, depth, pix = jax.device_get((frame.gray, frame.depth, frame.pixel_yx))
     bbox = mask_bbox(depth > 0)
-    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    rgb = np.repeat(np.asarray(gray)[..., None], 3, axis=-1)
     crop, transform = resize_crop(rgb, bbox=bbox, out_size=out_size)
-    kp = np.asarray(frame.pixel_yx)[:, ::-1].astype(np.float64)
+    kp = np.asarray(pix)[:, ::-1].astype(np.float64)
     kp_local = (
         np.linalg.inv(transform)
         @ np.concatenate([kp, np.ones((len(kp), 1))], -1).T
     ).T[:, :2]
-    desc = extractor(jnp.asarray(crop), jnp.asarray(kp_local.astype(np.float32)))
-    return np.asarray(desc)
+    return extractor(jnp.asarray(crop), jnp.asarray(kp_local.astype(np.float32)))
 
 
 def train_category(
@@ -119,7 +124,8 @@ def train_category(
             out["shot"] = np.asarray(f.shot)
             out["normal"] = np.asarray(f.normal)
         else:
-            out["desc"] = _frame_descriptors(f, dino_extractor)
+            # this CLI pool batches via np.stack — fetch once here
+            out["desc"] = np.asarray(_frame_descriptors(f, dino_extractor))
         return out
 
     reader = None

@@ -102,18 +102,24 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
     pose_each = (make_pose(True, False), make_pose(False, True)) if per_branch else None
 
     def to_row(est, i, f, handle_vis):
+        # ONE host fetch per frame (each np.asarray costs ~80 ms via relay)
+        rot, trans, scale, snorm, g_rot, g_trans, g_snorm, g_bound = (
+            jax.device_get((est.rotation, est.translation, est.scale,
+                            est.scale_norm, f.rotation, f.translation,
+                            f.scale_norm, f.bound))
+        )
         rt = np.eye(4)
-        rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
-        rt[:3, 3] = np.asarray(est.translation)
-        scales = np.asarray(est.scale) / max(float(est.scale_norm), 1e-9)
+        rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
+        rt[:3, 3] = np.asarray(trans)
+        scales = np.asarray(scale) / max(float(snorm), 1e-9)
         gt_rt = np.eye(4)
-        gt_rt[:3, :3] = np.asarray(f.rotation) * float(f.scale_norm)
-        gt_rt[:3, 3] = np.asarray(f.translation)
+        gt_rt[:3, :3] = np.asarray(g_rot) * float(g_snorm)
+        gt_rt[:3, 3] = np.asarray(g_trans)
         res = {
             "image_path": f"synth_{i}",
             "gt_class_ids": np.array([cls_id]),
             "gt_RTs": gt_rt[None],
-            "gt_scales": (np.asarray(f.bound) / float(f.scale_norm))[None],
+            "gt_scales": (np.asarray(g_bound) / float(g_snorm))[None],
             "gt_handle_visibility": np.array([handle_vis]),
             "pred_class_ids": np.array([cls_id]),
             "pred_RTs": rt[None],
@@ -135,8 +141,8 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         fd = f._replace(pixel_yx=fi.pixel_yx)
         desc = jnp.asarray(_frame_descriptors(fd, extractor))
         est = pose_both(fi, desc, jax.random.fold_in(key, 1))
-        picks.append(int(est.pick))
         row, err = to_row(est, i, f, handle_vis)
+        picks.append(int(est.pick))  # est already fetched above; cheap
         results.append(row)
         errs.append(err)
         if per_branch:
@@ -190,13 +196,18 @@ def main():
     ap.add_argument("--save-ckpts", default="ckpts_r3")
     ap.add_argument("--per-branch-cats", nargs="*", default=["mug", "camera"],
                     help="also evaluate each branch alone for these categories")
+    ap.add_argument("--stride", type=int, default=4,
+                    help="ViT descriptor stride (4 = reference eval setting, "
+                         "8 = the 4x-faster production candidate)")
     ap.add_argument("--out", default="benchmarks/synthetic_r3_ensemble")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    from synthetic_benchmark import _make_extractor, train_one
+    from synthetic_benchmark import train_one
+    from cppf2_tpu.models.dinov2 import DinoFeatureExtractor
 
-    extractor = _make_extractor(args.seed)
+    extractor = DinoFeatureExtractor(stride=args.stride)
+    extractor.init_random(hw=(256, 256), seed=args.seed)
     pipe = PipelineConfig(n_points=args.n_points, num_pairs=args.num_pairs,
                           restarts=args.restarts)
     os.makedirs(args.out, exist_ok=True)
@@ -211,7 +222,7 @@ def main():
         dino_model, dino_state = train_one(
             cat_name, steps, args.n_points, args.tuples,
             150 if hard else args.pool, args.seed, print,
-            refresh_every=40 if hard else args.refresh_every,
+            refresh_every=args.refresh_every,
             branch="dino", extractor=extractor,
             handle_visible=(cat_name == "mug"),
         )
