@@ -199,6 +199,10 @@ def main():
     ap.add_argument("--stride", type=int, default=4,
                     help="ViT descriptor stride (4 = reference eval setting, "
                          "8 = the 4x-faster production candidate)")
+    ap.add_argument("--eval-only", default=None, metavar="DINO_CKPT_ROOT",
+                    help="skip training: load dino params from "
+                         "{root}/dino/{cat}/params.msgpack (e.g. ckpts_r3) "
+                         "and only run the ensemble eval")
     ap.add_argument("--out", default="benchmarks/synthetic_r3_ensemble")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -217,17 +221,26 @@ def main():
         shot_model, shot_params = load_shot_params(args.shot_ckpts, cat_name, cat)
         assert shot_params is not None, (
             f"no SHOT checkpoint for {cat_name} under {args.shot_ckpts}")
-        hard = cat_name in ("mug", "camera")
-        steps = args.dino_steps_asym if hard else args.dino_steps
-        dino_model, dino_state = train_one(
-            cat_name, steps, args.n_points, args.tuples,
-            150 if hard else args.pool, args.seed, print,
-            refresh_every=args.refresh_every,
-            branch="dino", extractor=extractor,
-            handle_visible=(cat_name == "mug"),
-        )
-        dino_params = jax.device_get(dino_state.params)
-        if args.save_ckpts:
+        if args.eval_only:
+            dino_model = DinoBranch(tuple_size=cat.tuple_size)
+            i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
+            ref = dino_model.init(jax.random.key(1), jnp.zeros((16, 3)),
+                                  jnp.zeros((16, 1024)), i0)
+            dino_params = load_params_msgpack(
+                os.path.join(args.eval_only, "dino", cat_name,
+                             "params.msgpack"), ref)
+        else:
+            hard = cat_name in ("mug", "camera")
+            steps = args.dino_steps_asym if hard else args.dino_steps
+            dino_model, dino_state = train_one(
+                cat_name, steps, args.n_points, args.tuples,
+                150 if hard else args.pool, args.seed, print,
+                refresh_every=args.refresh_every,
+                branch="dino", extractor=extractor,
+                handle_visible=(cat_name == "mug"),
+            )
+            dino_params = jax.device_get(dino_state.params)
+        if args.save_ckpts and not args.eval_only:
             path = export_params_msgpack(
                 os.path.join(args.save_ckpts, "dino", cat_name, "params.msgpack"),
                 dino_params,
