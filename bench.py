@@ -6,8 +6,9 @@ descriptors inside the per-instance loop; weights are random here — absent in
 this zero-egress sandbox — which changes nothing about throughput):
 
     depth + mask -> dense backprojection -> voxel downsample -> normals +
-    SHOT-352  |  masked RGB window -> 896^2 resize -> ViT-L (4097 tokens,
-    fused Pallas attention, int8 W8A8 linears) -> bilinear descriptor
+    SHOT-352  |  masked RGB window -> resize -> ViT-L (stride-8 tokens,
+    fused Pallas attention, bf16 params; int8 via BENCH_VIT_QUANT=int8,
+    a measured negative result here) -> bilinear descriptor
     sampling -> both branch tuple MLPs -> bin sampling -> center vote ->
     backvote filter -> rotation votes -> 100-step alignment opt -> ensemble
     selection

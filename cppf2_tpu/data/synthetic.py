@@ -298,6 +298,31 @@ class SyntheticFrameGenerator:
                     )
                     if self.require_handle_visible and not self.last_handle_visible:
                         continue  # redraw pose/mesh until the yaw cue is visible
+                    if not self.last_handle_visible:
+                        # Body-only cloud: yaw is unobservable, so the
+                        # canonical x/z of every target point would be label
+                        # noise w.r.t. the input. Re-canonicalize the yaw the
+                        # same way up-symmetric categories do (map_sym,
+                        # dataset.py:265-266): targets become a deterministic
+                        # function of the visible geometry, and the eval
+                        # protocol already forgives yaw on these frames
+                        # (gt_handle_visibility=0, utils/util.py:637-657).
+                        # This keeps body-only clouds in-distribution for the
+                        # center/scale heads — the round-2 handle-visible-only
+                        # training filter left them OOD, which measured as a
+                        # ~6 cm camera-z center bias and ~1.5x scale
+                        # over-prediction on every hidden-handle eval frame.
+                        rot_c = np.asarray(
+                            map_sym(jnp.asarray(rot.T), self.cat.up_axis_index)
+                        ).T
+                        pc_canon = ((pc - trans) @ rot_c / float(scale_norm))
+                        pc_canon = np.where(
+                            valid[:, None], pc_canon, 0.0
+                        ).astype(np.float32)
+                        frame = frame._replace(
+                            rotation=jnp.asarray(rot_c),
+                            pc_canon=jnp.asarray(pc_canon),
+                        )
                 return frame
         raise RuntimeError("could not render a frame with enough points")
 

@@ -126,19 +126,20 @@ def quantize_vit_params(variables, cfg: ViTConfig = VIT_L14):
     params = variables["params"]
 
     def q(dense):
+        # stacked block layout: kernel (depth, d_in, d_out), per-layer
+        # per-output-channel scales (depth, d_out)
         w = np.asarray(dense["kernel"], np.float32)
-        s = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
-        dense["kernel"] = np.clip(np.round(w / s[None, :]), -127, 127).astype(
+        s = np.maximum(np.abs(w).max(axis=1), 1e-12) / 127.0
+        dense["kernel"] = np.clip(np.round(w / s[:, None, :]), -127, 127).astype(
             np.int8
         )
         dense["qscale"] = s.astype(np.float32)
 
-    for i in range(cfg.depth):
-        blk = params[f"block{i}"]
-        q(blk["attn"]["qkv"])
-        q(blk["attn"]["proj"])
-        q(blk["mlp_fc1"])
-        q(blk["mlp_fc2"])
+    blk = params["blocks"]
+    q(blk["attn"]["qkv"])
+    q(blk["attn"]["proj"])
+    q(blk["mlp_fc1"])
+    q(blk["mlp_fc2"])
     return variables
 
 
@@ -240,6 +241,14 @@ def _chunked_attention(qh, kh, vh, chunk: int, dt):
 
 
 class _Block(nn.Module):
+    """One transformer block, shaped for `nn.scan` (returns a (carry, y)
+    pair): the whole depth-24 stack compiles as ONE scanned block with
+    stacked params instead of 24 unrolled clones. That keeps a single copy
+    of the block HLO (and of the Pallas attention custom-call payload) in
+    the serialized module — ~24x smaller programs, much faster remote
+    compiles, and the combined ViT+pose graph stays under the relay's
+    compile-request size cap."""
+
     cfg: ViTConfig
 
     @nn.compact
@@ -265,7 +274,7 @@ class _Block(nn.Module):
                 nn.LayerNorm(name="norm2")(x)
             )
             h = nn.Dense(c.embed_dim, name="mlp_fc2", dtype=dt)(nn.gelu(h))
-        return x + ls2 * h.astype(jnp.float32)
+        return x + ls2 * h.astype(jnp.float32), None
 
 
 class DinoViT(nn.Module):
@@ -308,8 +317,16 @@ class DinoViT(nn.Module):
             t_pad = -(-t_real // c.attn_block_q) * c.attn_block_q
             tokens = jnp.pad(tokens, ((0, t_pad - t_real), (0, 0)))
 
-        for i in range(c.depth):
-            tokens = _Block(c, name=f"block{i}")(tokens, t_real)
+        blocks = nn.scan(
+            _Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.depth,
+            in_axes=nn.broadcast,
+        )(c, name="blocks")
+        # the residual stream runs in f32 (each block returns f32); the scan
+        # carry must be a fixed point, so enter the stack in f32 too
+        tokens, _ = blocks(tokens.astype(jnp.float32), t_real)
         tokens = nn.LayerNorm(name="norm")(tokens)
         return tokens[1:t_real].reshape(gh, gw, c.embed_dim)
 
@@ -433,12 +450,19 @@ class DinoFeatureExtractor:
         if jnp.dtype(self.cfg.compute_dtype) == jnp.float32:
             return params
         dt = jnp.dtype(self.cfg.compute_dtype)
-        return jax.tree.map(
-            lambda x: x.astype(dt)
-            if (x.ndim >= 2 and jnp.dtype(x.dtype) != jnp.int8)
-            else x,
-            params,
-        )
+        # Matmul kernels go bf16; LayerNorm/LayerScale/bias vectors stay f32.
+        # Leaves under "blocks" carry a leading (depth,) scan axis, so the
+        # vector/matrix cutoff there is ndim 3, not 2.
+        from jax.tree_util import tree_map_with_path
+
+        def cast(path, x):
+            stacked = any(getattr(k, "key", None) == "blocks" for k in path)
+            min_ndim = 3 if stacked else 2
+            if x.ndim >= min_ndim and jnp.dtype(x.dtype) != jnp.int8:
+                return x.astype(dt)
+            return x
+
+        return tree_map_with_path(cast, params)
 
     def init_random(self, hw=(256, 256), seed=0):
         h, w = hw
@@ -516,32 +540,37 @@ def port_torch_state_dict(sd: Dict[str, Any], cfg: ViTConfig = VIT_L14):
     }
     params["cls_token"] = a(sd["cls_token"]).reshape(1, cfg.embed_dim)
     params["pos_embed"] = a(sd["pos_embed"]).reshape(-1, cfg.embed_dim)
-    for i in range(cfg.depth):
-        p = f"blocks.{i}."
-        params[f"block{i}"] = {
-            "norm1": {"scale": a(sd[p + "norm1.weight"]), "bias": a(sd[p + "norm1.bias"])},
-            "norm2": {"scale": a(sd[p + "norm2.weight"]), "bias": a(sd[p + "norm2.bias"])},
-            "ls1": a(sd[p + "ls1.gamma"]),
-            "ls2": a(sd[p + "ls2.gamma"]),
-            "attn": {
-                "qkv": {
-                    "kernel": a(sd[p + "attn.qkv.weight"]).T,
-                    "bias": a(sd[p + "attn.qkv.bias"]),
-                },
-                "proj": {
-                    "kernel": a(sd[p + "attn.proj.weight"]).T,
-                    "bias": a(sd[p + "attn.proj.bias"]),
-                },
+    def stk(suffix, transpose=False):
+        # per-layer torch tensors -> ONE stacked array with a leading
+        # (depth,) axis, matching the nn.scan'd block layout
+        arrs = [a(sd[f"blocks.{i}.{suffix}"]) for i in range(cfg.depth)]
+        out = np.stack([x.T if transpose else x for x in arrs])
+        return out
+
+    params["blocks"] = {
+        "norm1": {"scale": stk("norm1.weight"), "bias": stk("norm1.bias")},
+        "norm2": {"scale": stk("norm2.weight"), "bias": stk("norm2.bias")},
+        "ls1": stk("ls1.gamma"),
+        "ls2": stk("ls2.gamma"),
+        "attn": {
+            "qkv": {
+                "kernel": stk("attn.qkv.weight", transpose=True),
+                "bias": stk("attn.qkv.bias"),
             },
-            "mlp_fc1": {
-                "kernel": a(sd[p + "mlp.fc1.weight"]).T,
-                "bias": a(sd[p + "mlp.fc1.bias"]),
+            "proj": {
+                "kernel": stk("attn.proj.weight", transpose=True),
+                "bias": stk("attn.proj.bias"),
             },
-            "mlp_fc2": {
-                "kernel": a(sd[p + "mlp.fc2.weight"]).T,
-                "bias": a(sd[p + "mlp.fc2.bias"]),
-            },
-        }
+        },
+        "mlp_fc1": {
+            "kernel": stk("mlp.fc1.weight", transpose=True),
+            "bias": stk("mlp.fc1.bias"),
+        },
+        "mlp_fc2": {
+            "kernel": stk("mlp.fc2.weight", transpose=True),
+            "bias": stk("mlp.fc2.bias"),
+        },
+    }
     params["norm"] = {"scale": a(sd["norm.weight"]), "bias": a(sd["norm.bias"])}
     return {"params": params}
 

@@ -237,7 +237,12 @@ def main():
                 150 if hard else args.pool, args.seed, print,
                 refresh_every=args.refresh_every,
                 branch="dino", extractor=extractor,
-                handle_visible=(cat_name == "mug"),
+                # mug trains on ALL frames: hidden-handle frames are
+                # yaw-canonicalized by the generator (map_sym), so their
+                # center/scale targets are clean signal, not label noise —
+                # filtering them out left body-only clouds OOD (a measured
+                # ~6 cm camera-z center bias at eval)
+                handle_visible=False,
             )
             dino_params = jax.device_get(dino_state.params)
         if args.save_ckpts and not args.eval_only:

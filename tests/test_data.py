@@ -258,15 +258,33 @@ class TestMugHandleMeta:
             CATEGORIES["mug"], n_max=1024, surface_samples=40000,
             height=240, width=320, shot_k=16, seed=2,
         )
+        from cppf2_tpu.core.geometry import map_sym
+
         flags = []
-        for _ in range(4):
+        seen_hidden = False
+        for _ in range(30):
+            if seen_hidden and len(flags) >= 4:
+                break
             f = gen.next_frame()
+            seen_hidden = seen_hidden or not gen.last_handle_visible
             assert gen.last_handle_visible in (0, 1)
-            # flag consistent with the canonical cloud vs the meta cylinder
             meta = gen.last_meta
             pcc = np.asarray(f.pc_canon)[np.asarray(f.valid)]
-            cyl = np.hypot(pcc[:, 0] - meta["axis_xz"][0],
-                           pcc[:, 2] - meta["axis_xz"][1])
-            want = int((cyl > meta["handle_cut"]).sum() >= 15)
-            assert gen.last_handle_visible == want
+            if gen.last_handle_visible:
+                # flag consistent with the canonical cloud vs the meta cylinder
+                cyl = np.hypot(pcc[:, 0] - meta["axis_xz"][0],
+                               pcc[:, 2] - meta["axis_xz"][1])
+                assert (cyl > meta["handle_cut"]).sum() >= 15
+            else:
+                # hidden handle: the generator re-canonicalizes the yaw
+                # (map_sym) so targets are observable — the stored rotation
+                # must be the map_sym fixed point, and the canon cloud must
+                # be consistent with it
+                rot = np.asarray(f.rotation)
+                rot_c = np.asarray(map_sym(jnp.asarray(rot.T), 1)).T
+                np.testing.assert_allclose(rot_c, rot, atol=1e-5)
+                pc = np.asarray(f.pc)[np.asarray(f.valid)]
+                want = ((pc - np.asarray(f.translation)) @ rot
+                        / float(f.scale_norm))
+                np.testing.assert_allclose(pcc, want, atol=1e-4)
             flags.append(gen.last_handle_visible)

@@ -202,9 +202,9 @@ class TestInt8Quant:
         np.testing.assert_allclose(pre, ref, atol=1e-5)
 
         qp = quantize_vit_params(p_q, cfg_q)
-        blk = qp["params"]["block0"]["attn"]["qkv"]
+        blk = qp["params"]["blocks"]["attn"]["qkv"]
         assert blk["kernel"].dtype == np.int8
-        assert blk["qscale"].shape == (3 * 64,)
+        assert blk["qscale"].shape == (cfg_q.depth, 3 * 64)
         out = np.asarray(m_q.apply(jax.tree.map(jnp.asarray, qp), img))
         cos = np.sum(out * ref, -1) / np.maximum(
             np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1), 1e-12
@@ -216,7 +216,7 @@ class TestInt8Quant:
                         quant="int8")
         ex = DinoFeatureExtractor(cfg=cfg, stride=4)
         ex.init_random(hw=(64, 64))
-        k = ex.params["params"]["block0"]["mlp_fc1"]["kernel"]
+        k = ex.params["params"]["blocks"]["mlp_fc1"]["kernel"]
         assert jnp.dtype(k.dtype) == jnp.int8
         img = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
         pts = jnp.asarray(rng.uniform(5, 55, size=(12, 2)).astype(np.float32))
