@@ -144,15 +144,19 @@ def main():
     # ---- full eval.py path: depth+mask+rgb -> cloud+SHOT || ViT descriptors
     # -> ensemble pose (eval.py:132-372, descriptors inside the loop)
     def make_e2e_full(vit_stride):
+        # NOTE: model params enter as jit ARGUMENTS, never closures — a
+        # closed-over param tree is inlined into the module as literal
+        # constants (measured 608 MB of serialized HLO for the bf16 ViT-L),
+        # which blows the relay's compile-request size cap
         @jax.jit
-        def e2e_full(depth, rgb, key):
+        def e2e_full(vp, dpp, spp, depth, rgb, key):
             k_pre, k_pose = jax.random.split(key)
             fi = preprocess_frame(
                 depth, mask_j, k_j, k_pre,
                 res=cat.res, n_max=n, shot_k=pipe.neighbor_k, crop=crop,
             )
             desc = masked_window_descriptors(
-                vit_model, vit_params, rgb, mask_j, fi.pixel_yx, fi.window_yx,
+                vit_model, vp, rgb, mask_j, fi.pixel_yx, fi.window_yx,
                 crop=crop, stride=vit_stride,
             )
 
@@ -163,12 +167,12 @@ def main():
                 return shot_m.apply(params, points, fi.shot, fi.normal, ti)
 
             return estimate_pose_ensemble(
-                dino_apply, dp, shot_apply, sp,
+                dino_apply, dpp, shot_apply, spp,
                 fi.pc, fi.valid, fi.count, k_pose, cat, pipe, run_opt=True,
             )
 
         def once(key, carry):
-            est = e2e_full(depth0 + carry * 1e-12, rgb0, key)
+            est = e2e_full(vit_params, dp, sp, depth0 + carry * 1e-12, rgb0, key)
             return est.translation[0]
 
         return once
@@ -178,7 +182,7 @@ def main():
 
     # ---- geo-only e2e (round-2 headline): no visual frontend
     @jax.jit
-    def e2e_geo(depth, key):
+    def e2e_geo(dpp, spp, depth, key):
         k_pre, k_pose = jax.random.split(key)
         fi = preprocess_frame(
             depth, mask_j, k_j, k_pre,
@@ -192,18 +196,18 @@ def main():
             return shot_m.apply(params, points, fi.shot, fi.normal, ti)
 
         return estimate_pose_ensemble(
-            dino_apply, dp, shot_apply, sp,
+            dino_apply, dpp, shot_apply, spp,
             fi.pc, fi.valid, fi.count, k_pose, cat, pipe, run_opt=True,
             use_visual=False,
         )
 
     def e2e_geo_once(key, carry):
-        est = e2e_geo(depth0 + carry * 1e-12, key)
+        est = e2e_geo(dp, sp, depth0 + carry * 1e-12, key)
         return est.translation[0]
 
     # ---- pose graph only (round-1 headline; features precomputed)
     @jax.jit
-    def graph(pc, key):
+    def graph(dpp, spp, pc, key):
         def dino_apply(params, points, ti):
             return dino_m.apply(params, points, desc_j, ti)
 
@@ -211,12 +215,12 @@ def main():
             return shot_m.apply(params, points, shot0, nrm0, ti)
 
         return estimate_pose_ensemble(
-            dino_apply, dp, shot_apply, sp,
+            dino_apply, dpp, shot_apply, spp,
             pc, jnp.ones(n, bool), jnp.int32(n), key, cat, pipe, run_opt=True,
         )
 
     def graph_once(key, carry):
-        est = graph(pc0 + carry * 1e-12, key)
+        est = graph(dp, sp, pc0 + carry * 1e-12, key)
         return est.translation[0]
 
     # compile all

@@ -225,7 +225,11 @@ def estimate_instance(
     if extent.max() / cat.res > 1000:  # degenerate-extent guard (eval.py:200)
         return None
 
-    # visual descriptors at the cloud's pixels, from the masked crop
+    # visual descriptors at the cloud's pixels, from the masked crop.
+    # `desc` STAYS a device array end-to-end: fetching the (n, 1024) f32
+    # tensor through the relay costs seconds at ~5 MB/s and re-uploading it
+    # costs the same again (measured 0.55 -> ~4 inst/s on the 3-instance
+    # driver bench) — only the small kp transform runs on host.
     if dino_extractor is not None:
         rgb_masked = np.where(mask[..., None], rgb, 0).astype(np.uint8)
         bbox = mask_bbox(mask)
@@ -233,14 +237,17 @@ def estimate_instance(
         kp = pix_host[:, ::-1].astype(np.float64)  # (n, xy)
         kp_local = (np.linalg.inv(transform) @ np.concatenate(
             [kp, np.ones((len(kp), 1))], -1).T).T[:, :2]
-        desc = np.asarray(
-            dino_extractor(jnp.asarray(crop / 255.0), jnp.asarray(kp_local.astype(np.float32)))
+        # upload the crop as uint8 (196 KB) and normalize on device —
+        # `crop / 255.0` would ship 1.5 MB of float64 through the relay
+        desc = dino_extractor(
+            jnp.asarray(crop).astype(jnp.float32) / 255.0,
+            jnp.asarray(kp_local.astype(np.float32)),
         )
     else:
-        desc = np.zeros((pipe.n_points, 1024), np.float32)
+        desc = jnp.zeros((pipe.n_points, 1024), jnp.float32)
     est = models.pose_fn(cat, pipe, run_opt, use_visual, use_geo)(
         models.dino_params, models.shot_params,
-        fi.pc, fi.valid, fi.count, jnp.asarray(desc), fi.shot, fi.normal, k2,
+        fi.pc, fi.valid, fi.count, desc, fi.shot, fi.normal, k2,
     )
     rot, trans, scale, snorm, loss = jax.device_get(
         (est.rotation, est.translation, est.scale, est.scale_norm, est.loss)
