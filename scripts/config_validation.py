@@ -42,8 +42,11 @@ def eval_config(cat_name, params_f32, frames, pipe, n_points, seed,
     sphere = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
     model = ShotBranch(tuple_size=cat.tuple_size, dtype=dtype)
 
+    # params as a jit ARGUMENT (not a closure): closure pytrees are inlined
+    # as module constants, which defeats the compile cache across the
+    # 6 categories x 4 configs this script sweeps (CLAUDE.md)
     @jax.jit
-    def pose_frame(depth, key):
+    def pose_frame(branch_params, depth, key):
         fi = preprocess_frame(depth, depth > 0, gen.intrinsics, key,
                               res=cat.res, n_max=n_points, shot_k=48,
                               exact_knn=exact_knn)
@@ -55,13 +58,13 @@ def eval_config(cat_name, params_f32, frames, pipe, n_points, seed,
         u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
         ti = jnp.floor(u * fi.count).astype(jnp.int32)
         return estimate_pose_branch(
-            shot_apply, params_f32, fi.pc, fi.valid, fi.count, ti, k2,
+            shot_apply, branch_params, fi.pc, fi.valid, fi.count, ti, k2,
             cat, pipe, sphere, run_opt=True,
         )
 
     errs = []
     for i, f in enumerate(frames):
-        est = pose_frame(f.depth, jax.random.key(1000 + i))
+        est = pose_frame(params_f32, f.depth, jax.random.key(1000 + i))
         rt = np.eye(4)
         rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
         rt[:3, 3] = np.asarray(est.translation)

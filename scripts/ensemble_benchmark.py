@@ -83,8 +83,10 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
                                 res=cat.res, n_max=n_points, shot_k=48)
 
     def make_pose(use_visual, use_geo):
+        # param trees enter as jit ARGUMENTS (closure pytrees are inlined
+        # as module constants and defeat the compile cache — CLAUDE.md)
         @jax.jit
-        def pose(fi, desc, key):
+        def pose(dp, sp, fi, desc, key):
             def dino_apply(p, pts, ti):
                 return dino_model.apply(p, pts, desc, ti)
 
@@ -92,7 +94,7 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
                 return shot_model.apply(p, pts, fi.shot, fi.normal, ti)
 
             return estimate_pose_ensemble(
-                dino_apply, dino_params, shot_apply, shot_params,
+                dino_apply, dp, shot_apply, sp,
                 fi.pc, fi.valid, fi.count, key, cat, pipe, run_opt=True,
                 use_visual=use_visual, use_geo=use_geo,
             )
@@ -140,14 +142,16 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         fi = preprocess_only(f.depth, key)
         fd = f._replace(pixel_yx=fi.pixel_yx)
         desc = jnp.asarray(_frame_descriptors(fd, extractor))
-        est = pose_both(fi, desc, jax.random.fold_in(key, 1))
+        est = pose_both(dino_params, shot_params, fi, desc,
+                        jax.random.fold_in(key, 1))
         row, err = to_row(est, i, f, handle_vis)
         picks.append(int(est.pick))  # est already fetched above; cheap
         results.append(row)
         errs.append(err)
         if per_branch:
             for name, fn in zip(("dino", "shot"), pose_each):
-                eb = fn(fi, desc, jax.random.fold_in(key, 1))
+                eb = fn(dino_params, shot_params, fi, desc,
+                        jax.random.fold_in(key, 1))
                 _, err_b = to_row(eb, i, f, handle_vis)
                 branch_errs[name].append(err_b)
         if (i + 1) % 25 == 0:

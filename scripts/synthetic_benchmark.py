@@ -129,8 +129,11 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
     sphere = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
     cls_id = cat.category_id
 
+    # branch params enter as a jit ARGUMENT: closure pytrees are inlined as
+    # module constants (CLAUDE.md), which bloats the compile request and
+    # defeats the compile cache across categories/checkpoints
     @jax.jit
-    def pose_frame(depth, key):
+    def pose_frame(branch_params, depth, key):
         fi = preprocess_frame(depth, depth > 0, gen.intrinsics, key,
                               res=cat.res, n_max=n_points, shot_k=48)
         k1, k2 = jax.random.split(jax.random.fold_in(key, 1))
@@ -140,14 +143,14 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
 
         if restarts > 1:
             return estimate_pose_branch_restarts(
-                shot_apply, state.params, fi.pc, fi.valid, fi.count,
+                shot_apply, branch_params, fi.pc, fi.valid, fi.count,
                 jax.random.fold_in(key, 1), cat, pipe, sphere,
                 restarts=restarts, run_opt=True,
             )
         u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
         ti = jnp.floor(u * fi.count).astype(jnp.int32)
         return estimate_pose_branch(
-            shot_apply, state.params, fi.pc, fi.valid, fi.count, ti, k2,
+            shot_apply, branch_params, fi.pc, fi.valid, fi.count, ti, k2,
             cat, pipe, sphere, run_opt=True,
         )
 
@@ -157,7 +160,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
                                 res=cat.res, n_max=n_points, shot_k=48)
 
     @jax.jit
-    def pose_dino(fi, desc, key):
+    def pose_dino(branch_params, fi, desc, key):
         k1, k2 = jax.random.split(key)
         u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
         ti = jnp.floor(u * fi.count).astype(jnp.int32)
@@ -166,7 +169,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
             return model.apply(params, points, desc, tidx)
 
         return estimate_pose_branch(
-            dino_apply, state.params, fi.pc, fi.valid, fi.count, ti, k2,
+            dino_apply, branch_params, fi.pc, fi.valid, fi.count, ti, k2,
             cat, pipe, sphere, run_opt=True,
         )
 
@@ -178,7 +181,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
         fi = preprocess_only(f.depth, key)
         fd = f._replace(pixel_yx=fi.pixel_yx)
         desc = jnp.asarray(_frame_descriptors(fd, extractor))
-        return pose_dino(fi, desc, jax.random.fold_in(key, 1))
+        return pose_dino(state.params, fi, desc, jax.random.fold_in(key, 1))
 
     results = []
     errs = []
@@ -191,7 +194,7 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
         if branch == "dino":
             est = _dino_frame(f, jax.random.key(1000 + i))
         else:
-            est = pose_frame(f.depth, jax.random.key(1000 + i))
+            est = pose_frame(state.params, f.depth, jax.random.key(1000 + i))
         rt = np.eye(4)
         rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
         rt[:3, 3] = np.asarray(est.translation)

@@ -120,6 +120,46 @@ class TestEvalDriver:
         gt_t = res["gt_RTs"][0][:3, 3]
         assert np.linalg.norm(rt[:3, 3] - gt_t) < 0.25
 
+    def test_instance_with_visual_frontend_keeps_desc_on_device(
+        self, synthetic_real275
+    ):
+        # the visual-branch driver path: descriptors must flow crop -> ViT ->
+        # ensemble as ONE device-resident tensor (the (n, 1024) host
+        # round-trip costs seconds through the TPU relay)
+        import jax
+
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.eval.driver import (
+            REAL275_INTRINSICS,
+            estimate_instance,
+            load_category_models,
+        )
+        from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, ViTConfig
+        import cv2
+
+        det_dir, img_dir, _ = synthetic_real275
+        pkl = sorted(os.listdir(det_dir))[0]
+        res = pickle.load(open(os.path.join(det_dir, pkl), "rb"))
+        name = os.path.basename(res["image_path"])
+        rgb = cv2.imread(os.path.join(img_dir, name + "_color.png"))[:, :, ::-1]
+        depth = cv2.imread(os.path.join(img_dir, name + "_depth.png"), -1) / 1000.0
+        models = load_category_models(None, ["can"])["can"]
+        ext = DinoFeatureExtractor(
+            cfg=ViTConfig(embed_dim=1024, depth=1, num_heads=16,
+                          pretrain_grid=8),
+            stride=8,
+        )
+        ext.init_random(hw=(256, 256))
+        pipe = PipelineConfig(n_points=512, num_pairs=1024, opt_steps=5)
+        out = estimate_instance(
+            rgb, depth.astype(np.float32), res["pred_masks"][:, :, 0],
+            REAL275_INTRINSICS, models, "can", pipe, jax.random.key(0),
+            dino_extractor=ext, run_opt=False,
+        )
+        assert out is not None
+        rt, scales, loss = out
+        assert np.isfinite(rt).all() and np.isfinite(loss)
+
 
 @pytest.mark.slow
 class TestCustomTrainingExample:
