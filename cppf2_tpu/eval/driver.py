@@ -178,6 +178,24 @@ def load_category_models(
     return out
 
 
+@jax.jit
+def _cloud_extent(pc, valid):
+    """Per-axis extent of the valid cloud prefix, on device (the host-side
+    formulation needed a (n, 3) fetch per instance)."""
+    mx = jnp.max(jnp.where(valid[:, None], pc, -jnp.inf), axis=0)
+    mn = jnp.min(jnp.where(valid[:, None], pc, jnp.inf), axis=0)
+    return mx - mn
+
+
+@jax.jit
+def _kp_to_crop(pixel_yx, inv_transform):
+    """Map cloud pixels (y, x) to crop-local (x, y) via the inverse of the
+    resize_crop affine, on device."""
+    xy = pixel_yx[:, ::-1].astype(jnp.float32)
+    ones = jnp.ones((xy.shape[0], 1), xy.dtype)
+    return (jnp.concatenate([xy, ones], axis=-1) @ inv_transform.T)[:, :2]
+
+
 def estimate_instance(
     rgb: np.ndarray,          # (H, W, 3) uint8
     depth_m: np.ndarray,      # (H, W) float meters
@@ -215,33 +233,25 @@ def estimate_instance(
         jnp.asarray(intrinsics.astype(np.float32)), k1,
         res=cat.res, n_max=pipe.n_points, shot_k=pipe.neighbor_k, crop=crop,
     )
-    # ONE host fetch for everything the guards/descriptor path need (each
-    # np.asarray/int() through the relay costs ~80 ms — CLAUDE.md)
-    count, pc_host, pix_host = jax.device_get((fi.count, fi.pc, fi.pixel_yx))
-    count = int(count)
-    if count < 32:
-        return None
-    extent = pc_host[: count].max(0) - pc_host[: count].min(0)
-    if extent.max() / cat.res > 1000:  # degenerate-extent guard (eval.py:200)
-        return None
 
-    # visual descriptors at the cloud's pixels, from the masked crop.
-    # `desc` STAYS a device array end-to-end: fetching the (n, 1024) f32
-    # tensor through the relay costs seconds at ~5 MB/s and re-uploading it
-    # costs the same again (measured 0.55 -> ~4 inst/s on the 3-instance
-    # driver bench) — only the small kp transform runs on host.
+    # visual descriptors at the cloud's pixels, from the masked crop. The
+    # whole instance runs with ONE host sync (the combined fetch below —
+    # each sync through the relay costs ~80 ms, CLAUDE.md): the cloud-extent
+    # guard and the pixel->crop keypoint transform run on DEVICE, and `desc`
+    # stays a device array end-to-end (fetching the (n, 1024) f32 tensor
+    # costs seconds at relay bandwidth; measured 0.55 inst/s because of it).
+    # Degenerate instances (count < 32, blown-up extent) burn one wasted
+    # pose dispatch — they are rare and the sync they'd save costs more.
     if dino_extractor is not None:
         rgb_masked = np.where(mask[..., None], rgb, 0).astype(np.uint8)
         bbox = mask_bbox(mask)
-        crop, transform = resize_crop(rgb_masked, bbox=bbox, out_size=256)
-        kp = pix_host[:, ::-1].astype(np.float64)  # (n, xy)
-        kp_local = (np.linalg.inv(transform) @ np.concatenate(
-            [kp, np.ones((len(kp), 1))], -1).T).T[:, :2]
+        crop_img, transform = resize_crop(rgb_masked, bbox=bbox, out_size=256)
+        inv_t = jnp.asarray(np.linalg.inv(transform).astype(np.float32))
         # upload the crop as uint8 (196 KB) and normalize on device —
         # `crop / 255.0` would ship 1.5 MB of float64 through the relay
         desc = dino_extractor(
-            jnp.asarray(crop).astype(jnp.float32) / 255.0,
-            jnp.asarray(kp_local.astype(np.float32)),
+            jnp.asarray(crop_img).astype(jnp.float32) / 255.0,
+            _kp_to_crop(fi.pixel_yx, inv_t),
         )
     else:
         desc = jnp.zeros((pipe.n_points, 1024), jnp.float32)
@@ -249,9 +259,15 @@ def estimate_instance(
         models.dino_params, models.shot_params,
         fi.pc, fi.valid, fi.count, desc, fi.shot, fi.normal, k2,
     )
-    rot, trans, scale, snorm, loss = jax.device_get(
-        (est.rotation, est.translation, est.scale, est.scale_norm, est.loss)
+    count, extent, rot, trans, scale, snorm, loss = jax.device_get(
+        (fi.count, _cloud_extent(fi.pc, fi.valid), est.rotation,
+         est.translation, est.scale, est.scale_norm, est.loss)
     )
+    if int(count) < 32:
+        return None
+    if np.asarray(extent).max() / cat.res > 1000:
+        # degenerate-extent guard (eval.py:200)
+        return None
     rt = np.eye(4)
     rt[:3, :3] = np.asarray(rot) * float(snorm)
     rt[:3, 3] = np.asarray(trans)
