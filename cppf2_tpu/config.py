@@ -8,7 +8,7 @@ axes, rotational symmetry — lives here and nowhere else.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,6 +31,13 @@ class CategoryConfig:
     # metric scale range sampled during synthetic data generation
     # (reference: dataset.py:165-172 `shapenet_obj_scales`)
     scale_range: Tuple[float, float] = (0.1, 0.3)
+    # per-category default for PipelineConfig.scale_mode (used when the
+    # pipeline leaves it None). "head" for mug: when the handle is occluded,
+    # canonical predictions collapse toward the body's ring marginal and the
+    # reference's per-pair |obs|/|pred| rescale overshoots ~1.4x (a ~5 cm
+    # systematic center bias, measured); the scale-head factor removes it
+    # (hidden-handle 5°5cm 0.0 -> 0.5, visible frames unchanged).
+    scale_mode: str = "pair"
 
     @property
     def tuple_size(self) -> int:
@@ -61,7 +68,8 @@ CATEGORIES: Dict[str, CategoryConfig] = {
     "can": CategoryConfig("can", 4, up_sym=True, scale_range=(0.128, 0.18)),
     "laptop": CategoryConfig("laptop", 5, scale_range=(0.3862, 0.58)),
     "mug": CategoryConfig(
-        "mug", 6, front=(1, 0, 0), right=(0, 0, 1), scale_range=(0.1501, 0.1995)
+        "mug", 6, front=(1, 0, 0), right=(0, 0, 1),
+        scale_range=(0.1501, 0.1995), scale_mode="head",
     ),
 }
 
@@ -101,6 +109,33 @@ class PipelineConfig:
                                   # accuracy gain)
     restarts: int = 1             # best-of-N ensemble restarts by recon loss
                                   # (inference-time scaling; 1 = reference path)
+    scale_mode: Optional[str] = None  # canonical->metric rescale of predicted
+                                  # pairs before voting; None = the category's
+                                  # default (CategoryConfig.scale_mode):
+                                  #  "pair"  — per-pair |obs|/|pred| length
+                                  #    ratio (reference: eval.py:233-235);
+                                  #  "head"  — one global factor, the scale
+                                  #    head's median-bound max component (the
+                                  #    bound.max() that normalizes the
+                                  #    canonical frame);
+                                  #  "split" — like "head", plus a per-pair xz
+                                  #    factor solved so the rescaled pair
+                                  #    length matches the observed length,
+                                  #    feeding the translation targets only.
+                                  # The per-pair ratio is biased ~1.4x high
+                                  # when canonical predictions collapse toward
+                                  # a marginal mean (mug frames with the
+                                  # handle occluded) — a systematic ~5 cm
+                                  # center-vote overshoot; the scale head
+                                  # stays calibrated on the same frames, so
+                                  # "head" removes the bias (hidden-handle
+                                  # 5°5cm 0.0 -> 0.5 measured). "split" is
+                                  # exact under the collapse model but a
+                                  # measured NEGATIVE on real predictions —
+                                  # per-pair dy noise leaks into the xz
+                                  # factor (visible-handle 0.70 -> 0.40);
+                                  # kept as the tested record of that result.
+                                  # "pair" = reference semantics.
 
     @property
     def num_kept_pairs(self) -> int:

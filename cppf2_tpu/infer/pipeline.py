@@ -94,15 +94,66 @@ def _pose_from_preds(
     b_obs = points[tuple_idx[:, 1]]
     obs_len = jnp.linalg.norm(a_obs - b_obs, axis=-1)
     pred_len = jnp.linalg.norm(pred_pairs[:, 0] - pred_pairs[:, 1], axis=-1)
-    pair_scale = obs_len / jnp.maximum(pred_len, _EPS)
-    pred_pairs_scaled = pred_pairs * pair_scale[:, None, None]
 
     pair_valid = (
         (tuple_idx[:, 0] < count) & (tuple_idx[:, 1] < count) & (pred_len > _EPS)
     )
 
+    scale_mode = pipe.scale_mode or cat.scale_mode
+    if scale_mode in ("head", "split"):
+        # Canonical->metric factor from the scale head instead of per-pair
+        # |obs|/|pred| ratios (eval.py:233-235). When part of the object is
+        # occluded (mug with hidden handle), canonical predictions collapse
+        # toward the visible-geometry marginal mean, shrinking |pred| ~0.7x
+        # and biasing every per-pair ratio ~1.4x high — a systematic ~5 cm
+        # center overshoot along the view ray. The scale head's median bound
+        # stays calibrated on the same frames (measured: pred |bound| 0.260
+        # vs gt 0.258); its max component is exactly the bound.max() that
+        # normalizes the canonical frame.
+        head_bound = jnp.nanmedian(
+            jnp.where(pair_valid[:, None], scales, jnp.nan).astype(jnp.float32),
+            axis=0,
+        )
+        factor = jnp.max(jnp.abs(head_bound)).astype(points.dtype)
+        pred_pairs_scaled = pred_pairs * factor
+        tr_pairs = pred_pairs_scaled
+        if scale_mode == "split":
+            # "split": additionally re-solve the xz components per pair so
+            # the rescaled pair length matches the observed length exactly:
+            # obs^2 = f^2 dy^2 + fxz^2 dxz^2. If predictions collapse xz
+            # toward the axis by any per-pair factor g (dy calibrated,
+            # dxz = g * dxz_true), then fxz = factor / g and the rescaled xz
+            # offsets equal the TRUE metric offsets — the collapse cancels
+            # out of the center vote entirely. The corrected pairs feed ONLY
+            # the translation targets (tr): the rescale is anisotropic, so
+            # it would distort the pair *directions* the rotation-vote
+            # angles are computed from (angles are invariant under the
+            # isotropic modes); rotation votes and alignment keep the
+            # head-scaled pairs.
+            up_loc = cat.up_axis_index
+            d = pred_pairs[:, 0] - pred_pairs[:, 1]
+            dy2 = jnp.square(d[:, up_loc])
+            dxz2 = jnp.maximum(jnp.sum(d * d, axis=-1) - dy2, 0.0)
+            fxz2 = jnp.maximum(jnp.square(obs_len) - jnp.square(factor) * dy2, 0.0)
+            fxz = jnp.sqrt(fxz2 / jnp.maximum(dxz2, _EPS))
+            # robustness: bound the correction, and near-vertical pairs carry
+            # no xz information -> fall back to the head factor
+            fxz = jnp.clip(fxz, 0.25 * factor, 4.0 * factor)
+            fxz = jnp.where(dxz2 > 1e-6, fxz, factor)
+            axis_scale = jnp.where(
+                jnp.arange(3) == up_loc, factor, fxz[:, None]
+            ).astype(points.dtype)
+            tr_pairs = pred_pairs * axis_scale[:, None, :]
+    else:
+        pair_scale = obs_len / jnp.maximum(pred_len, _EPS)
+        pred_pairs_scaled = pred_pairs * pair_scale[:, None, None]
+        tr_pairs = pred_pairs_scaled
+
     # --- vote targets from the *predicted canonical* pairs (eval.py:237-240)
     t = pair_targets(pred_pairs_scaled[:, 0], pred_pairs_scaled[:, 1], up, right, front)
+    if tr_pairs is not pred_pairs_scaled:
+        t_tr = pair_targets(tr_pairs[:, 0], tr_pairs[:, 1], up, right, front)
+        t = t._replace(tr=t_tr.tr)
 
     # --- center vote
     cv = vote_center(

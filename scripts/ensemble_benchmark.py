@@ -207,6 +207,11 @@ def main():
                     help="skip training: load dino params from "
                          "{root}/dino/{cat}/params.msgpack (e.g. ckpts_r3) "
                          "and only run the ensemble eval")
+    ap.add_argument("--scale-mode", default=None,
+                    choices=["pair", "head", "split"],
+                    help="canonical->metric rescale override "
+                         "(PipelineConfig.scale_mode); default None = each "
+                         "category's own default ('head' for mug)")
     ap.add_argument("--out", default="benchmarks/synthetic_r3_ensemble")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -217,7 +222,7 @@ def main():
     extractor = DinoFeatureExtractor(stride=args.stride)
     extractor.init_random(hw=(256, 256), seed=args.seed)
     pipe = PipelineConfig(n_points=args.n_points, num_pairs=args.num_pairs,
-                          restarts=args.restarts)
+                          restarts=args.restarts, scale_mode=args.scale_mode)
     os.makedirs(args.out, exist_ok=True)
     all_results, summary = [], {}
     for cat_name in args.categories:

@@ -210,3 +210,84 @@ class TestRestarts:
         )
         assert np.isfinite(float(est.loss))
         assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
+
+
+class TestScaleFromHead:
+    """`pipe.scale_from_head`: canonical->metric factor from the scale head.
+
+    Reproduces the occluded-geometry failure mode (hidden-handle mug): when a
+    model's canonical predictions collapse toward a marginal mean, predicted
+    pair lengths shrink and the reference's per-pair |obs|/|pred| rescale
+    (eval.py:233-235) systematically over-scales every vote offset, biasing
+    the center vote along the cloud's mean offset direction. The scale head
+    stays calibrated on the same frames, and its max component is exactly the
+    bound.max() that normalizes the canonical frame.
+    """
+
+    def _half_scene(self, rng, n=512):
+        # a one-sided cloud (canonical y > 0): the mean point->center offset
+        # is nonzero, so a biased scale factor becomes a translation bias
+        from scipy.stats import special_ortho_group
+
+        bound = np.array([0.12, 0.2, 0.12], np.float32)
+        pts = []
+        while sum(len(p) for p in pts) < n:
+            cand = rng.uniform(-0.5, 0.5, size=(4 * n, 3)).astype(np.float32)
+            pts.append(cand[cand[:, 1] > 0.0])
+        pc_canon = np.concatenate(pts)[:n] * (bound / bound.max())
+        R = special_ortho_group.rvs(3, random_state=rng).astype(np.float32)
+        T = np.array([0.15, -0.1, 0.8], np.float32)
+        s = float(bound.max())
+        pc = (pc_canon * s) @ R.T + T
+        return pc.astype(np.float32), pc_canon, R, T, s, bound
+
+    def test_head_factor_removes_collapse_bias(self, rng):
+        cat = CATEGORIES["mug"]
+        pc, pc_canon, R, T, s, bound = self._half_scene(rng)
+        # collapsed predictions: x/z shrink toward the marginal mean (what a
+        # body-tuple model predicts when the handle is occluded); y calibrated
+        collapsed = pc_canon * np.array([0.6, 1.0, 0.6], np.float32)
+        apply_fn = _oracle_apply(collapsed, bound)
+        n = len(pc)
+        sphere = jnp.asarray(fibonacci_sphere(PIPE.sphere_samples))
+        u = jax.random.uniform(jax.random.key(7), (PIPE.num_pairs, 5))
+        tuple_idx = jnp.floor(u * n).astype(jnp.int32)
+
+        import dataclasses as dc
+
+        errs = {}
+        for mode in ("pair", "head", "split"):
+            pipe = dc.replace(PIPE, scale_mode=mode)
+            est = estimate_pose_branch(
+                apply_fn, None, jnp.asarray(pc), jnp.ones(n, bool),
+                jnp.int32(n), tuple_idx, jax.random.key(8), cat, pipe,
+                sphere, run_opt=False,
+            )
+            errs[mode] = np.linalg.norm(np.asarray(est.translation) - T) * 100
+            # the scale estimate itself comes from the head in every mode
+            np.testing.assert_allclose(np.asarray(est.scale), bound, atol=1e-3)
+        # "split" reconstructs the true xz offsets exactly for any per-pair
+        # collapse factor -> the center vote is unbiased
+        assert errs["split"] < 0.8, errs
+        assert errs["pair"] > errs["split"] + 0.4, errs
+
+    def test_head_factor_matches_pair_mode_when_calibrated(self, rng):
+        # with well-calibrated predictions the two modes must agree
+        cat = CATEGORIES["bowl"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        apply_fn = _oracle_apply(pc_canon, bound)
+        n = len(pc)
+        sphere = jnp.asarray(fibonacci_sphere(PIPE.sphere_samples))
+        u = jax.random.uniform(jax.random.key(9), (PIPE.num_pairs, 5))
+        tuple_idx = jnp.floor(u * n).astype(jnp.int32)
+
+        import dataclasses as dc
+
+        for mode in ("pair", "head", "split"):
+            pipe = dc.replace(PIPE, scale_mode=mode)
+            est = estimate_pose_branch(
+                apply_fn, None, jnp.asarray(pc), jnp.ones(n, bool),
+                jnp.int32(n), tuple_idx, jax.random.key(10), cat, pipe,
+                sphere, run_opt=False,
+            )
+            assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
