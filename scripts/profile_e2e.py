@@ -125,6 +125,70 @@ def main():
         bump = jax.tree.leaves(out)[0].ravel()[0] * 1e-12
         return (args[0] + bump.astype(args[0].dtype), args[1])
 
+    # --- visual-inclusive cumulative prefixes (bench.py's headline graph) ---
+    # Stage attribution through the relay needs cumulative single-program
+    # prefixes (isolated stages carry a ~4-5 ms dispatch floor; CLAUDE.md):
+    # pre | pre+ViT descriptors | full ensemble. Params are jit ARGUMENTS
+    # (a closed-over ViT param tree inlines ~600 MB of constants).
+    import dataclasses as _dc
+
+    from cppf2_tpu.models.dinov2 import (
+        VIT_L14,
+        DinoFeatureExtractor,
+        masked_window_descriptors,
+    )
+
+    crop = 256
+    stride = int(os.environ.get("BENCH_VIT_STRIDE", "8"))
+    ext = DinoFeatureExtractor(
+        cfg=_dc.replace(VIT_L14, attn_impl="pallas")
+    )
+    ext.init_random(hw=(crop, crop))
+    vit_model, vit_params = ext.model, ext.params
+    rgb0 = jnp.asarray(rng.uniform(0, 1, (480, 640, 3)).astype(np.float32))
+
+    @jax.jit
+    def pre_256(d, key):
+        fi = preprocess_frame(d, mask, kmat, key,
+                              res=cat.res, n_max=n, shot_k=k, crop=crop)
+        return fi.shot.sum()
+
+    @jax.jit
+    def pre_desc(vp, d, rgb, key):
+        fi = preprocess_frame(d, mask, kmat, key,
+                              res=cat.res, n_max=n, shot_k=k, crop=crop)
+        desc = masked_window_descriptors(
+            vit_model, vp, rgb, mask, fi.pixel_yx, fi.window_yx,
+            crop=crop, stride=stride,
+        )
+        return desc.sum() + fi.shot.sum()
+
+    @jax.jit
+    def e2e_visual(vp, d, rgb, key):
+        k_pre, k_pose = jax.random.split(key)
+        fi = preprocess_frame(d, mask, kmat, k_pre,
+                              res=cat.res, n_max=n, shot_k=k, crop=crop)
+        desc = masked_window_descriptors(
+            vit_model, vp, rgb, mask, fi.pixel_yx, fi.window_yx,
+            crop=crop, stride=stride,
+        )
+
+        def dino_apply_d(params, points, ti):
+            return dino_m.apply(params, points, desc, ti)
+
+        def shot_apply(params, points, ti):
+            return shot_m.apply(params, points, fi.shot, fi.normal, ti)
+
+        est = estimate_pose_ensemble(
+            dino_apply_d, dp, shot_apply, sp,
+            fi.pc, fi.valid, fi.count, k_pose, cat, pipe, run_opt=True,
+        )
+        return est.translation
+
+    def chain_vkey(args, out):
+        bump = jax.tree.leaves(out)[0].ravel()[0] * 1e-12
+        return (args[0], args[1] + bump.astype(args[1].dtype)) + args[2:]
+
     rows = [
         ("dense full-frame (480x640)", chained_timer(dense_full, chain_d, (depth,))),
         ("preprocess crop=320 (dense+kNN+normals+SHOT)",
@@ -136,6 +200,14 @@ def main():
          chained_timer(graph, chain_key, (pcr, jax.random.key(0)))),
         ("e2e (preprocess + ensemble)",
          chained_timer(e2e, chain_key, (depth, jax.random.key(0)))),
+        ("[visual] preprocess crop=256",
+         chained_timer(pre_256, chain_key, (depth, jax.random.key(0)))),
+        (f"[visual] + ViT stride-{stride} descriptors",
+         chained_timer(pre_desc, chain_vkey,
+                       (vit_params, depth, rgb0, jax.random.key(0)))),
+        ("[visual] full (pre + ViT + 2-branch ensemble)",
+         chained_timer(e2e_visual, chain_vkey,
+                       (vit_params, depth, rgb0, jax.random.key(0)))),
     ]
     for name, ms in rows:
         print(f"{name:48s} {ms:8.2f} ms")
