@@ -261,7 +261,11 @@ def bench_multi_instance(rng, n_inst=3, reps=8, stride=8):
     import jax.numpy as jnp
 
     from cppf2_tpu.config import PipelineConfig
-    from cppf2_tpu.eval.driver import estimate_instance, load_category_models
+    from cppf2_tpu.eval.driver import (
+        dispatch_instance,
+        fetch_instances,
+        load_category_models,
+    )
     from cppf2_tpu.models.dinov2 import VIT_L14, DinoFeatureExtractor
 
     pipe = PipelineConfig()
@@ -288,21 +292,23 @@ def bench_multi_instance(rng, n_inst=3, reps=8, stride=8):
 
     key = jax.random.key(0)
     # warm: compile + relay stream
-    for m in masks:
-        estimate_instance(
-            rgb, depth, m, REAL275_K, models, "mug", pipe, key,
-            dino_extractor=ext,
-        )
+    fetch_instances([
+        dispatch_instance(rgb, depth, m, REAL275_K, models, "mug", pipe, key,
+                          dino_extractor=ext)
+        for m in masks
+    ])
     t0 = time.time()
     done = 0
     for r in range(reps):
+        # the driver's per-frame protocol: dispatch every instance, ONE sync
+        pending = []
         for m in masks:
             key, sub = jax.random.split(key)
-            out = estimate_instance(
+            pending.append(dispatch_instance(
                 rgb, depth, m, REAL275_K, models, "mug", pipe, sub,
                 dino_extractor=ext,
-            )
-            done += out is not None
+            ))
+        done += sum(out is not None for out in fetch_instances(pending))
     dt = time.time() - t0
     assert done == reps * len(masks), "instance(s) rejected in multi-inst bench"
     return done / dt

@@ -19,7 +19,7 @@ import glob
 import os
 import pickle
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -196,7 +196,19 @@ def _kp_to_crop(pixel_yx, inv_transform):
     return (jnp.concatenate([xy, ones], axis=-1) @ inv_transform.T)[:, :2]
 
 
-def estimate_instance(
+class PendingInstance(NamedTuple):
+    """Device handles of one dispatched instance, not yet fetched.
+
+    The relay charges ~80 ms per host sync; `dispatch_instance` +
+    `fetch_instances` batch a whole frame's instances into ONE
+    `jax.device_get` (eval.py:132-205 runs per-image instance loops, so the
+    frame is the natural sync unit)."""
+
+    dev: tuple                # (count, extent, rot, trans, scale, snorm, loss)
+    res: float                # category voxel resolution for the extent guard
+
+
+def dispatch_instance(
     rgb: np.ndarray,          # (H, W, 3) uint8
     depth_m: np.ndarray,      # (H, W) float meters
     mask: np.ndarray,         # (H, W) bool
@@ -210,10 +222,8 @@ def estimate_instance(
     use_visual: Optional[bool] = None,
     use_geo: bool = True,
     crop="auto",
-):
-    """Pose one detected instance. Returns (RT 4x4, scales 3, loss) in the NOCS
-    convention (R * |s| in the rotation block, unit-normalized scales) or None
-    for degenerate inputs (eval.py:200-201, 370-372).
+) -> PendingInstance:
+    """Dispatch one detected instance's full pose graph; no host sync.
 
     `use_visual` defaults to whether a DINO extractor is available — an
     untrained visual branch with zero descriptors shouldn't compete in the
@@ -259,13 +269,18 @@ def estimate_instance(
         models.dino_params, models.shot_params,
         fi.pc, fi.valid, fi.count, desc, fi.shot, fi.normal, k2,
     )
-    count, extent, rot, trans, scale, snorm, loss = jax.device_get(
+    return PendingInstance(
         (fi.count, _cloud_extent(fi.pc, fi.valid), est.rotation,
-         est.translation, est.scale, est.scale_norm, est.loss)
+         est.translation, est.scale, est.scale_norm, est.loss),
+        cat.res,
     )
+
+
+def _finalize_instance(pending: PendingInstance, fetched):
+    count, extent, rot, trans, scale, snorm, loss = fetched
     if int(count) < 32:
         return None
-    if np.asarray(extent).max() / cat.res > 1000:
+    if np.asarray(extent).max() / pending.res > 1000:
         # degenerate-extent guard (eval.py:200)
         return None
     rt = np.eye(4)
@@ -273,6 +288,24 @@ def estimate_instance(
     rt[:3, 3] = np.asarray(trans)
     scales = np.asarray(scale) / max(float(snorm), 1e-9)
     return rt, scales, float(loss)
+
+
+def fetch_instances(pendings):
+    """ONE host sync for a batch of dispatched instances; per-instance results
+    are (RT 4x4, scales 3, loss) in the NOCS convention (R * |s| in the
+    rotation block, unit-normalized scales) or None for degenerate inputs
+    (eval.py:200-201, 370-372)."""
+    if not pendings:
+        return []
+    vals = jax.device_get(tuple(p.dev for p in pendings))
+    return [_finalize_instance(p, v) for p, v in zip(pendings, vals)]
+
+
+def estimate_instance(*args, **kwargs):
+    """Pose one detected instance (dispatch + immediate single-instance
+    fetch); see `dispatch_instance` / `fetch_instances` for the batched
+    one-sync-per-frame path."""
+    return fetch_instances([dispatch_instance(*args, **kwargs)])[0]
 
 
 def evaluate_real275(
@@ -321,17 +354,23 @@ def evaluate_real275(
         n_inst = len(res["pred_class_ids"])
         res["pred_RTs"] = np.stack([np.eye(4) for _ in range(n_inst)])
         res["pred_scales"] = np.ones((n_inst, 3))
+        # dispatch every instance in the image, then ONE host sync for all of
+        # them (each sync costs ~80 ms through the relay; the dispatches are
+        # async, so instance i+1's host prep overlaps instance i's compute)
+        pending, pending_idx = [], []
         for i in range(n_inst):
             cls_id = int(res["pred_class_ids"][i])
             cat_name = SYNSET_NAMES[cls_id]
             if cat_name not in CATEGORIES:
                 continue
             key, sub = jax.random.split(key)
-            out = estimate_instance(
+            pending.append(dispatch_instance(
                 rgb, depth, res["pred_masks"][:, :, i].astype(bool),
                 REAL275_INTRINSICS, models[cat_name], cat_name, pipe, sub,
                 dino_extractor, run_opt,
-            )
+            ))
+            pending_idx.append(i)
+        for i, out in zip(pending_idx, fetch_instances(pending)):
             if out is None:
                 continue
             rt, scales, _ = out
