@@ -50,7 +50,11 @@ class ViTConfig:
     # that avoids the (T, T) HBM tensors entirely
     attn_impl: str = "hbm"
     attn_chunk: int = 512
-    attn_block_q: int = 256   # pallas kernel query-block rows
+    # pallas kernel query-block rows; 0 = auto (pad the token axis to the
+    # nearest 128 multiple and pick the largest dividing block — at stride 8
+    # the fixed 256 block forces T 1025 -> 1280 and the WHOLE stack's
+    # qkv/proj/mlp matmuls run 12% fat; auto pads 1025 -> 1152 with bq=384)
+    attn_block_q: int = 256
     # linear-layer quantization: "none" keeps bf16 matmuls; "int8" runs the
     # qkv/proj/mlp contractions as W8A8 (per-channel weight scales x
     # per-token activation scales) on the MXU's 2x int8 path — weights must
@@ -175,11 +179,12 @@ class _Attention(nn.Module):
         vh = v.reshape(t, h, hd).transpose(1, 0, 2)
 
         if self.cfg.attn_impl == "pallas":
-            from cppf2_tpu.ops.pallas_attention import mha_pallas
+            from cppf2_tpu.ops.pallas_attention import auto_block_q, mha_pallas
             from cppf2_tpu.ops.pallas_kernels import on_tpu
 
             o = mha_pallas(
-                qh, kh, vh, block_q=self.cfg.attn_block_q,
+                qh, kh, vh,
+                block_q=self.cfg.attn_block_q or auto_block_q(t),
                 interpret=not on_tpu(), t_real=t_real, out_dtype=dt,
             )
         elif self.cfg.attn_impl == "chunked":
@@ -314,7 +319,8 @@ class DinoViT(nn.Module):
         # and get sliced off at the end.
         t_real = tokens.shape[0]
         if c.attn_impl == "pallas":
-            t_pad = -(-t_real // c.attn_block_q) * c.attn_block_q
+            mult = c.attn_block_q or 128
+            t_pad = -(-t_real // mult) * mult
             tokens = jnp.pad(tokens, ((0, t_pad - t_real), (0, 0)))
 
         blocks = nn.scan(
@@ -376,6 +382,7 @@ def interpolate_features(
     image_hw: Tuple[int, int],
     stride: int,
     normalize: bool = True,
+    impl: str = "gather",
 ) -> jax.Array:
     """Sample the token grid at keypoint pixel locations.
 
@@ -383,6 +390,12 @@ def interpolate_features(
     the reference's coordinate mapping (dataset.py:46-47): keypoint pixel ->
     normalized by (size * stride) -> grid sample over the (h/stride, w/stride)
     token grid. Out-of-range samples are zero-padded.
+
+    impl="gather" takes the four bilinear taps as row gathers; impl="onehot"
+    folds them into ONE (K, gh*gw) combination matrix and a single MXU matmul
+    against the flattened grid — row gathers of D=1024 descriptors are
+    HBM-unfriendly on this backend while one-hot matmuls are its fastest
+    accumulation primitive (CLAUDE.md), same trick as the vote histograms.
     """
     gh, gw, d = feat_grid.shape
     h, w = image_hw
@@ -398,17 +411,41 @@ def interpolate_features(
     wx = fx - x0
     wy = fy - y0
 
-    def tap(yy, xx):
-        inb = (yy >= 0) & (yy < gh) & (xx >= 0) & (xx < gw)
-        val = feat_grid[jnp.clip(yy, 0, gh - 1), jnp.clip(xx, 0, gw - 1)]
-        return jnp.where(inb[:, None], val, 0.0)
+    if impl == "onehot":
+        taps = (
+            (y0, x0, (1 - wx) * (1 - wy)),
+            (y0, x0 + 1, wx * (1 - wy)),
+            (y0 + 1, x0, (1 - wx) * wy),
+            (y0 + 1, x0 + 1, wx * wy),
+        )
+        comb = None
+        for yy, xx, wt in taps:
+            inb = (yy >= 0) & (yy < gh) & (xx >= 0) & (xx < gw)
+            # out-of-range taps get index -1 -> an all-zero one-hot row
+            idx = jnp.where(inb, yy * gw + xx, -1)
+            t = jax.nn.one_hot(idx, gh * gw, dtype=jnp.float32) * wt[:, None]
+            comb = t if comb is None else comb + t
+        # bf16 operands / f32 accumulation: the bilinear weights are in [0,1]
+        # and the result is L2-normalized, so bf16 mantissa error (~4e-3)
+        # is far below the bf16 ViT forward's own noise floor
+        out = jax.lax.dot_general(
+            comb.astype(jnp.bfloat16),
+            feat_grid.reshape(gh * gw, d).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        def tap(yy, xx):
+            inb = (yy >= 0) & (yy < gh) & (xx >= 0) & (xx < gw)
+            val = feat_grid[jnp.clip(yy, 0, gh - 1), jnp.clip(xx, 0, gw - 1)]
+            return jnp.where(inb[:, None], val, 0.0)
 
-    out = (
-        tap(y0, x0) * ((1 - wx) * (1 - wy))[:, None]
-        + tap(y0, x0 + 1) * (wx * (1 - wy))[:, None]
-        + tap(y0 + 1, x0) * ((1 - wx) * wy)[:, None]
-        + tap(y0 + 1, x0 + 1) * (wx * wy)[:, None]
-    )
+        out = (
+            tap(y0, x0) * ((1 - wx) * (1 - wy))[:, None]
+            + tap(y0, x0 + 1) * (wx * (1 - wy))[:, None]
+            + tap(y0 + 1, x0) * ((1 - wx) * wy)[:, None]
+            + tap(y0 + 1, x0 + 1) * (wx * wy)[:, None]
+        )
     if normalize:
         out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
     return out
@@ -419,7 +456,8 @@ class DinoFeatureExtractor:
     `DINOV2` module (dataset.py:62-80): resize to (h/stride*14, w/stride*14),
     forward, bilinear-sample patch tokens at keypoints, L2-normalize."""
 
-    def __init__(self, params=None, cfg: ViTConfig = None, stride: int = 4):
+    def __init__(self, params=None, cfg: ViTConfig = None, stride: int = 4,
+                 interp_impl: str = "gather"):
         if cfg is None:
             # production default: the fused Pallas kernel on TPU (50 ms/crop
             # vs 119 for the HBM path at ViT-L/stride-4); interpret-mode
@@ -431,6 +469,7 @@ class DinoFeatureExtractor:
             )
         self.cfg = cfg
         self.stride = stride
+        self.interp_impl = interp_impl
         self.model = DinoViT(cfg)
         self.params = self._cast(params)
         self._jit = jax.jit(self._run, static_argnames=("hw",))
@@ -476,7 +515,8 @@ class DinoFeatureExtractor:
         ph, pw = h // self.stride, w // self.stride
         resized = jax.image.resize(image, (ph * 14, pw * 14, 3), method="bilinear")
         grid = self.model.apply(params, resized)
-        return interpolate_features(grid, pts_xy, (h, w), self.stride)
+        return interpolate_features(grid, pts_xy, (h, w), self.stride,
+                                    impl=self.interp_impl)
 
     def __call__(self, image: jax.Array, pts_xy: jax.Array) -> jax.Array:
         """image: (H, W, 3) in [0,1]; pts_xy: (K, 2) crop-pixel coords."""
@@ -493,6 +533,7 @@ def masked_window_descriptors(
     window_yx: jax.Array,  # (2,) int crop-window origin (FrameInputs.window_yx)
     crop: int = 256,
     stride: int = 4,
+    interp_impl: str = "gather",
 ) -> jax.Array:
     """Fully in-graph visual frontend: window-slice the masked RGB, resize,
     run the ViT, and bilinearly sample patch tokens at the cloud's pixels.
@@ -515,7 +556,8 @@ def masked_window_descriptors(
     resized = jax.image.resize(img, (ph * 14, pw * 14, 3), method="bilinear")
     grid = model.apply(params, resized)
     kp_xy = (pixel_yx[:, ::-1] - jnp.stack([x0, y0])[None, :]).astype(jnp.float32)
-    return interpolate_features(grid, kp_xy, img.shape[:2], stride)
+    return interpolate_features(grid, kp_xy, img.shape[:2], stride,
+                                impl=interp_impl)
 
 
 # ---------------------------------------------------------------------------

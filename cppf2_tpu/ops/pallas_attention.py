@@ -26,6 +26,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def auto_block_q(t: int) -> int:
+    """Largest query block from the lane-friendly set that divides `t`
+    (so the kernel adds no padding of its own); 128 if none divides — the
+    kernel then pads to the next 128 multiple, the cheapest residual."""
+    for b in (512, 384, 256, 128):
+        if t % b == 0:
+            return b
+    return 128
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     # q: (1, BQ, hd) bf16 (pre-scaled); k/v: (1, T_pad, hd) bf16
     logits = jax.lax.dot_general(

@@ -78,6 +78,31 @@ class TestInterpolateFeatures:
         )
         np.testing.assert_allclose(out, 0.0)
 
+    def test_onehot_impl_matches_gather(self, rng):
+        """The MXU one-hot-matmul sampler must agree with the gather taps
+        (to bf16 operand precision) including out-of-range zero padding."""
+        gh, gw, d = 8, 10, 32
+        h, w = 32, 40
+        grid = rng.normal(size=(gh, gw, d)).astype(np.float32)
+        # mix of interior, edge, and far out-of-range points
+        pts = np.concatenate(
+            [
+                rng.uniform(0, [w - 1, h - 1], size=(64, 2)),
+                np.array([[-0.49, -0.49], [w - 0.51, h - 0.51],
+                          [-100.0, 5.0], [5.0, 1000.0]]),
+            ]
+        ).astype(np.float32)
+        for normalize in (False, True):
+            want = np.asarray(interpolate_features(
+                jnp.asarray(grid), jnp.asarray(pts), (h, w), 4,
+                normalize=normalize, impl="gather"))
+            got = np.asarray(interpolate_features(
+                jnp.asarray(grid), jnp.asarray(pts), (h, w), 4,
+                normalize=normalize, impl="onehot"))
+            np.testing.assert_allclose(got, want, atol=2e-2)
+            # normalized interior rows should agree to ~bf16 rounding
+            np.testing.assert_allclose(got[:64], want[:64], atol=2e-2, rtol=2e-2)
+
 
 class TestPorting:
     def test_state_dict_port_congruent(self, rng):
@@ -169,6 +194,21 @@ class TestChunkedAttention:
             np.asarray(m_h.apply(p, img)), np.asarray(m_p.apply(p, img)),
             atol=5e-2,  # kernel computes in bf16 q/k/v
         )
+        # auto block (attn_block_q=0): 128-multiple stack pad, dividing block
+        m_a = DinoViT(ViTConfig(attn_impl="pallas", attn_block_q=0, **kw))
+        np.testing.assert_allclose(
+            np.asarray(m_h.apply(p, img)), np.asarray(m_a.apply(p, img)),
+            atol=5e-2,
+        )
+
+    def test_auto_block_q(self):
+        from cppf2_tpu.ops.pallas_attention import auto_block_q
+
+        assert auto_block_q(1152) == 384   # stride-8 crop: 1025 -> 1152
+        assert auto_block_q(4224) == 384   # stride-4 crop: 4097 -> 4224
+        assert auto_block_q(1024) == 512
+        assert auto_block_q(1280) == 256
+        assert auto_block_q(100) == 128    # nothing divides -> kernel pads
 
 
 class TestInt8Quant:
