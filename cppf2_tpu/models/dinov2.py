@@ -376,6 +376,35 @@ class _PatchEmbed(nn.Module):
 # Bilinear sampling at keypoints (dataset.py:40-59 semantics)
 # ---------------------------------------------------------------------------
 
+def _linear_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, half-pixel centers —
+    identical semantics to jax.image.resize(method="bilinear") when
+    upscaling (antialias is a no-op for scale >= 1)."""
+    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(src).astype(np.int64)
+    t = (src - lo).astype(np.float64)
+    w = np.zeros((n_out, n_in))
+    rows = np.arange(n_out)
+    w[rows, np.clip(lo, 0, n_in - 1)] += 1.0 - t
+    w[rows, np.clip(lo + 1, 0, n_in - 1)] += t
+    return w.astype(np.float32)
+
+
+def resize_bilinear_matmul(img: jax.Array, oh: int, ow: int) -> jax.Array:
+    """Bilinear upscale as two small separable matmuls (R_h @ img @ R_w^T).
+
+    Matches jax.image.resize(..., method="bilinear") for upscales; expressed
+    as dot_generals so the op lands on the MXU instead of whatever gather/
+    window lowering the backend picks for the resize HLO.
+    """
+    h, w, c = img.shape
+    rh = jnp.asarray(_linear_resize_matrix(h, oh))
+    rw = jnp.asarray(_linear_resize_matrix(w, ow))
+    hi = jax.lax.Precision.HIGHEST  # exactness is cheap at this size
+    t1 = jnp.einsum("oh,hwc->owc", rh, img, precision=hi)
+    return jnp.einsum("pw,owc->opc", rw, t1, precision=hi)
+
+
 def interpolate_features(
     feat_grid: jax.Array,   # (gh, gw, D) patch-token grid
     pts_xy: jax.Array,      # (K, 2) pixel coords in the *input image* space

@@ -72,6 +72,18 @@ def main():
     ms = chained_timer(front, chain_img, (rgb,))
     print(f"window+mask+resize ({crop}->{crop // stride * 14}): {ms:.2f} ms")
 
+    # --- resize impls head-to-head --------------------------------------
+    from cppf2_tpu.models.dinov2 import resize_bilinear_matmul
+
+    crop_img = jnp.asarray(
+        rng.uniform(0, 1, (crop, crop, 3)).astype(np.float32))
+    oh = ow = crop // stride * 14
+    f_jax = jax.jit(lambda im: jax.image.resize(im, (oh, ow, 3), "bilinear"))
+    f_mm = jax.jit(lambda im: resize_bilinear_matmul(im, oh, ow))
+    for name, f in (("jax.image.resize", f_jax), ("matmul", f_mm)):
+        ms = chained_timer(f, chain_img, (crop_img,))
+        print(f"resize[{name}] {crop}->{oh}: {ms:.2f} ms")
+
     # --- descriptor sampling: gather vs onehot --------------------------
     for impl in ("gather", "onehot"):
         f = jax.jit(lambda g, p, impl=impl: interpolate_features(

@@ -201,6 +201,14 @@ class TestChunkedAttention:
             atol=5e-2,
         )
 
+    def test_resize_matmul_matches_jax_image(self, rng):
+        from cppf2_tpu.models.dinov2 import resize_bilinear_matmul
+
+        img = jnp.asarray(rng.uniform(0, 1, (64, 48, 3)).astype(np.float32))
+        want = np.asarray(jax.image.resize(img, (112, 84, 3), method="bilinear"))
+        got = np.asarray(resize_bilinear_matmul(img, 112, 84))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_auto_block_q(self):
         from cppf2_tpu.ops.pallas_attention import auto_block_q
 
