@@ -254,22 +254,23 @@ def main():
 
 def bench_multi_instance(rng, n_inst=3, reps=8, stride=8):
     """3 instances in one 480x640 frame through the *driver* path
-    (`estimate_instance`): includes the per-instance host work the fused
-    bench excludes — mask bbox, crop-tier decision, descriptor transform,
-    batched host fetches (eval.py:132-205 per-image instance loop)."""
+    (`dispatch_frame`): the production per-image protocol — instances
+    grouped by (category, crop tier) into vmapped programs, padded to the
+    bucket size, ONE host sync per frame — plus the real per-instance host
+    work (mask bbox, crop-tier decision) the fused bench excludes
+    (eval.py:132-205 per-image instance loop)."""
     import jax
-    import jax.numpy as jnp
 
     from cppf2_tpu.config import PipelineConfig
     from cppf2_tpu.eval.driver import (
-        dispatch_instance,
-        fetch_instances,
+        dispatch_frame,
+        fetch_frames,
         load_category_models,
     )
     from cppf2_tpu.models.dinov2 import VIT_L14, DinoFeatureExtractor
 
     pipe = PipelineConfig()
-    models = load_category_models(None, ["mug"])["mug"]
+    models = load_category_models(None, ["mug"])
     ext = DinoFeatureExtractor(
         cfg=dataclasses.replace(
             VIT_L14, attn_impl="pallas",
@@ -289,26 +290,21 @@ def bench_multi_instance(rng, n_inst=3, reps=8, stride=8):
         depth = np.where(m, d, depth)
         masks.append(m)
     rgb = (rng.uniform(0, 255, (480, 640, 3))).astype(np.uint8)
+    dets = [("mug", m) for m in masks]
 
     key = jax.random.key(0)
     # warm: compile + relay stream
-    fetch_instances([
-        dispatch_instance(rgb, depth, m, REAL275_K, models, "mug", pipe, key,
-                          dino_extractor=ext)
-        for m in masks
-    ])
+    fetch_frames(dispatch_frame(rgb, depth, dets, REAL275_K, models, pipe,
+                                key, dino_extractor=ext))
     t0 = time.time()
     done = 0
     for r in range(reps):
-        # the driver's per-frame protocol: dispatch every instance, ONE sync
-        pending = []
-        for m in masks:
-            key, sub = jax.random.split(key)
-            pending.append(dispatch_instance(
-                rgb, depth, m, REAL275_K, models, "mug", pipe, sub,
-                dino_extractor=ext,
-            ))
-        done += sum(out is not None for out in fetch_instances(pending))
+        key, sub = jax.random.split(key)
+        outs = fetch_frames(dispatch_frame(
+            rgb, depth, dets, REAL275_K, models, pipe, sub,
+            dino_extractor=ext,
+        ))
+        done += sum(out is not None for out in outs.values())
     dt = time.time() - t0
     assert done == reps * len(masks), "instance(s) rejected in multi-inst bench"
     return done / dt

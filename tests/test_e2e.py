@@ -161,6 +161,123 @@ class TestEvalDriver:
         assert np.isfinite(rt).all() and np.isfinite(loss)
 
 
+class TestBatchedFramePath:
+    """dispatch_frame: one vmapped program per (category, crop) group."""
+
+    def _load(self, synthetic_real275):
+        import cv2
+
+        det_dir, img_dir, _ = synthetic_real275
+        pkl = sorted(os.listdir(det_dir))[0]
+        res = pickle.load(open(os.path.join(det_dir, pkl), "rb"))
+        name = os.path.basename(res["image_path"])
+        rgb = cv2.imread(os.path.join(img_dir, name + "_color.png"))[:, :, ::-1]
+        depth = (
+            cv2.imread(os.path.join(img_dir, name + "_depth.png"), -1) / 1000.0
+        ).astype(np.float32)
+        return rgb, depth, res
+
+    def test_vmapped_group_rows_match_singletons(self, synthetic_real275):
+        # batch=2 program == two batch=1 programs with the same keys: the
+        # vmap axis must not couple instances
+        import jax
+        import jax.numpy as jnp
+
+        from cppf2_tpu.config import CATEGORIES, PipelineConfig
+        from cppf2_tpu.eval.driver import (
+            REAL275_INTRINSICS,
+            _frame_group_fn,
+            load_category_models,
+        )
+
+        rgb, depth, res = self._load(synthetic_real275)
+        m0 = res["pred_masks"][:, :, 0].astype(bool)
+        m1 = np.roll(m0, 40, axis=1)  # second "instance"
+        models = load_category_models(None, ["can"])["can"]
+        cat = CATEGORIES["can"]
+        pipe = PipelineConfig(n_points=512, num_pairs=1024, opt_steps=5)
+
+        keys = jax.random.split(jax.random.key(7), 2)
+        args = (models.dino_params, models.shot_params, 0,
+                jnp.asarray(rgb.astype(np.uint8)), jnp.asarray(depth))
+        tail = (jnp.asarray(REAL275_INTRINSICS),)
+        fn2 = _frame_group_fn(models, cat, pipe, False, False, True,
+                              256, 8, None, 2)
+        batched = jax.device_get(
+            fn2(*args, jnp.asarray(np.stack([m0, m1])), *tail, keys))
+        fn1 = _frame_group_fn(models, cat, pipe, False, False, True,
+                              256, 8, None, 1)
+        for row, (m, k) in enumerate(((m0, keys[0]), (m1, keys[1]))):
+            single = jax.device_get(
+                fn1(*args, jnp.asarray(m[None]), *tail, k[None]))
+            for b, s in zip(batched, single):
+                np.testing.assert_allclose(
+                    np.asarray(b)[row], np.asarray(s)[0], atol=1e-5)
+
+    def test_dispatch_frame_end_to_end(self, synthetic_real275):
+        # 3 same-category instances -> one padded bucket-4 group, one sync;
+        # results carry the instance indexing and the center sanity bound
+        import jax
+
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.eval.driver import (
+            REAL275_INTRINSICS,
+            PendingFrameGroup,
+            dispatch_frame,
+            fetch_frames,
+            load_category_models,
+        )
+
+        rgb, depth, res = self._load(synthetic_real275)
+        m0 = res["pred_masks"][:, :, 0].astype(bool)
+        models = load_category_models(None, ["can"])
+        pipe = PipelineConfig(n_points=1024, num_pairs=2048, opt_steps=5)
+        dets = [("can", m0), ("can", np.roll(m0, 30, 1)), ("can", m0)]
+        pend = dispatch_frame(rgb, depth, dets, REAL275_INTRINSICS, models,
+                              pipe, jax.random.key(0), run_opt=False)
+        assert len(pend) == 1 and isinstance(pend[0], PendingFrameGroup)
+        assert pend[0].dev[0].shape[0] == 4  # bucket padding 3 -> 4
+        out = fetch_frames(pend)
+        assert sorted(out) == [0, 1, 2]
+        gt_t = res["gt_RTs"][0][:3, 3]
+        for i in (0, 2):
+            rt, scales, loss = out[i]
+            assert np.isfinite(rt).all()
+            assert np.linalg.norm(rt[:3, 3] - gt_t) < 0.25
+
+    def test_dispatch_frame_visual_smoke(self, synthetic_real275):
+        # tiny ViT through the fused in-graph frontend, batch 2
+        import jax
+
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.eval.driver import (
+            REAL275_INTRINSICS,
+            dispatch_frame,
+            fetch_frames,
+            load_category_models,
+        )
+        from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, ViTConfig
+
+        rgb, depth, res = self._load(synthetic_real275)
+        m0 = res["pred_masks"][:, :, 0].astype(bool)
+        models = load_category_models(None, ["can"])
+        ext = DinoFeatureExtractor(
+            cfg=ViTConfig(embed_dim=1024, depth=1, num_heads=16,
+                          pretrain_grid=8),
+            stride=8,
+        )
+        ext.init_random(hw=(256, 256))
+        pipe = PipelineConfig(n_points=512, num_pairs=1024, opt_steps=5)
+        dets = [("can", m0), ("can", np.roll(m0, 30, 1))]
+        out = fetch_frames(dispatch_frame(
+            rgb, depth, dets, REAL275_INTRINSICS, models, pipe,
+            jax.random.key(0), dino_extractor=ext, run_opt=False))
+        assert sorted(out) == [0, 1]
+        for i in (0, 1):
+            rt, scales, loss = out[i]
+            assert np.isfinite(rt).all() and np.isfinite(loss)
+
+
 @pytest.mark.slow
 class TestCustomTrainingExample:
     def test_quick_run(self):
