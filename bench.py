@@ -94,7 +94,7 @@ def main():
     from cppf2_tpu.models.dinov2 import (
         VIT_L14,
         DinoFeatureExtractor,
-        masked_window_descriptors,
+        bbox_crop_descriptors,
     )
 
     rng = np.random.default_rng(0)
@@ -155,9 +155,11 @@ def main():
                 depth, mask_j, k_j, k_pre,
                 res=cat.res, n_max=n, shot_k=pipe.neighbor_k, crop=crop,
             )
-            desc = masked_window_descriptors(
-                vit_model, vp, rgb, mask_j, fi.pixel_yx, fi.window_yx,
-                crop=crop, stride=vit_stride,
+            # bbox-rescaled crop convention (dataset.py:322-337) — the one
+            # the branch checkpoints are trained on and the driver's batched
+            # frame path uses
+            desc = bbox_crop_descriptors(
+                vit_model, vp, rgb, mask_j, fi.pixel_yx, stride=vit_stride,
             )
 
             def dino_apply(params, points, ti):

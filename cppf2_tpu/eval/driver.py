@@ -35,7 +35,7 @@ from cppf2_tpu.infer.frontend import (
 )
 from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
 from cppf2_tpu.models import DinoBranch, ShotBranch
-from cppf2_tpu.models.dinov2 import masked_window_descriptors
+from cppf2_tpu.models.dinov2 import bbox_crop_descriptors
 
 # REAL275 evaluation intrinsics (eval.py:82)
 REAL275_INTRINSICS = np.array(
@@ -277,11 +277,11 @@ def dispatch_instance(
     )
 
 
-def _finalize_instance(pending: PendingInstance, fetched):
+def _finalize_instance(res: float, fetched):
     count, extent, rot, trans, scale, snorm, loss = fetched
     if int(count) < 32:
         return None
-    if np.asarray(extent).max() / pending.res > 1000:
+    if np.asarray(extent).max() / res > 1000:
         # degenerate-extent guard (eval.py:200)
         return None
     rt = np.eye(4)
@@ -299,7 +299,7 @@ def fetch_instances(pendings):
     if not pendings:
         return []
     vals = jax.device_get(tuple(p.dev for p in pendings))
-    return [_finalize_instance(p, v) for p, v in zip(pendings, vals)]
+    return [_finalize_instance(p.res, v) for p, v in zip(pendings, vals)]
 
 
 def estimate_instance(*args, **kwargs):
@@ -334,10 +334,12 @@ def _frame_group_fn(models: CategoryModels, cat, pipe: PipelineConfig,
     """Build (and cache) the vmapped per-group program.
 
     The whole group — dense preprocess, fused in-graph ViT descriptors
-    (`masked_window_descriptors`, the jit analog of the reference's
-    eval.py:179-205 crop+DINO stage), and the two-branch ensemble — compiles
-    as one program; all param trees enter as jit ARGUMENTS (closure pytrees
-    inline into the serialized module and blow the relay's compile-size cap).
+    (`bbox_crop_descriptors`, the jit analog of the reference's
+    eval.py:179-205 crop+DINO stage, in the SAME bbox-rescaled-crop
+    convention the branch checkpoints were trained on), and the two-branch
+    ensemble — compiles as one program; all param trees enter as jit
+    ARGUMENTS (closure pytrees inline into the serialized module and blow
+    the relay's compile-size cap).
     """
     if models._pose_fns is None:
         models._pose_fns = {}
@@ -360,10 +362,9 @@ def _frame_group_fn(models: CategoryModels, cat, pipe: PipelineConfig,
                 n_max=pipe.n_points, shot_k=pipe.neighbor_k, crop=crop,
             )
             if extractor is not None:
-                desc = masked_window_descriptors(
-                    vit, vit_params, rgb, mask, fi.pixel_yx, fi.window_yx,
-                    crop=crop, stride=stride,
-                    interp_impl=extractor.interp_impl,
+                desc = bbox_crop_descriptors(
+                    vit, vit_params, rgb, mask, fi.pixel_yx,
+                    stride=stride, interp_impl=extractor.interp_impl,
                 )
             else:
                 desc = jnp.zeros((pipe.n_points, 1024), jnp.float32)
@@ -412,6 +413,7 @@ def dispatch_frame(
     the host (eval.py:132-205)."""
     if use_visual is None:
         use_visual = dino_extractor is not None
+    buckets = tuple(sorted(buckets))
     groups: Dict[tuple, list] = {}
     singles = []  # (idx, PendingInstance): masks too large for any crop tier
     for idx, (cat_name, mask) in enumerate(detections):
@@ -428,30 +430,37 @@ def dispatch_frame(
             continue
         groups.setdefault((cat_name, tier), []).append((idx, mask))
 
-    rgb_j = jnp.asarray(rgb)          # uint8: one small upload per frame
-    depth_j = jnp.asarray(depth_m.astype(np.float32))
-    k_j = jnp.asarray(intrinsics.astype(np.float32))
-    stride = getattr(dino_extractor, "stride", 8)
-
     pendings = []
+    if groups:
+        rgb_j = jnp.asarray(rgb)      # uint8: one small upload per frame
+        depth_j = jnp.asarray(depth_m.astype(np.float32))
+        k_j = jnp.asarray(intrinsics.astype(np.float32))
+        stride = getattr(dino_extractor, "stride", 8)
+
     for (cat_name, crop), members in groups.items():
         cat = get_category(cat_name)
-        batch = next((b for b in buckets if b >= len(members)), len(members))
-        idxs = tuple(i for i, _ in members)
-        masks = [m for _, m in members]
-        masks += [masks[-1]] * (batch - len(masks))
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, batch)
-        fn = _frame_group_fn(
-            models[cat_name], cat, pipe, run_opt, use_visual, use_geo,
-            crop, stride, dino_extractor if use_visual else None, batch,
-        )
-        m = models[cat_name]
-        vit_params = (dino_extractor.params
-                      if (dino_extractor is not None and use_visual) else 0)
-        dev = fn(m.dino_params, m.shot_params, vit_params, rgb_j, depth_j,
-                 jnp.asarray(np.stack(masks)), k_j, keys)
-        pendings.append(PendingFrameGroup(dev, cat.res, idxs))
+        # chunk oversized groups into max-bucket pieces so the compile cache
+        # stays bounded at O(categories x tiers x len(buckets)) programs
+        # regardless of how many same-tier detections a frame carries
+        for lo in range(0, len(members), buckets[-1]):
+            chunk = members[lo:lo + buckets[-1]]
+            batch = next(b for b in buckets if b >= len(chunk))
+            idxs = tuple(i for i, _ in chunk)
+            masks = [m for _, m in chunk]
+            masks += [masks[-1]] * (batch - len(masks))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, batch)
+            fn = _frame_group_fn(
+                models[cat_name], cat, pipe, run_opt, use_visual, use_geo,
+                crop, stride, dino_extractor if use_visual else None, batch,
+            )
+            m = models[cat_name]
+            vit_params = (dino_extractor.params
+                          if (dino_extractor is not None and use_visual)
+                          else 0)
+            dev = fn(m.dino_params, m.shot_params, vit_params, rgb_j,
+                     depth_j, jnp.asarray(np.stack(masks)), k_j, keys)
+            pendings.append(PendingFrameGroup(dev, cat.res, idxs))
     pendings.extend(singles)
     return pendings
 
@@ -473,11 +482,10 @@ def fetch_frames(pendings):
         if isinstance(p, PendingFrameGroup):
             for row, idx in enumerate(p.idxs):
                 fetched = tuple(np.asarray(x)[row] for x in v)
-                out[idx] = _finalize_instance(
-                    PendingInstance(None, p.res), fetched)
+                out[idx] = _finalize_instance(p.res, fetched)
         else:
             idx, pi = p
-            out[idx] = _finalize_instance(pi, v)
+            out[idx] = _finalize_instance(pi.res, v)
     return out
 
 

@@ -395,9 +395,15 @@ def resize_bilinear_matmul(img: jax.Array, oh: int, ow: int) -> jax.Array:
 
     Matches jax.image.resize(..., method="bilinear") for upscales; expressed
     as dot_generals so the op lands on the MXU instead of whatever gather/
-    window lowering the backend picks for the resize HLO.
+    window lowering the backend picks for the resize HLO. Downscales are
+    rejected: there jax.image.resize applies an antialias kernel the two-tap
+    matrix silently wouldn't.
     """
     h, w, c = img.shape
+    if oh < h or ow < w:
+        raise ValueError(
+            f"resize_bilinear_matmul is upscale-only ({h}x{w} -> {oh}x{ow}); "
+            "use jax.image.resize for downscales (antialias differs)")
     rh = jnp.asarray(_linear_resize_matrix(h, oh))
     rw = jnp.asarray(_linear_resize_matrix(w, ow))
     hi = jax.lax.Precision.HIGHEST  # exactness is cheap at this size
@@ -572,8 +578,12 @@ def masked_window_descriptors(
     window `preprocess_frame` used for the depth — so depth, SHOT and
     descriptors come out of ONE compiled program with zero host hops. Unlike
     the reference's bbox-square scaling (dataset.py:322-337) the window is a
-    fixed `crop` size, so the object keeps its native pixel scale; train and
-    eval stay consistent because both run through this function.
+    fixed `crop` size, so the object keeps its native pixel scale — a
+    DIFFERENT descriptor convention from the training path
+    (train/driver.py::_frame_descriptors rescales the bbox to 256). Use
+    `bbox_crop_descriptors` when the consumer was trained on rescaled crops
+    (every shipped checkpoint); this variant remains for scale-invariant
+    profiling of the frontend.
     """
     y0, x0 = window_yx[0], window_yx[1]
     h, w = rgb.shape[:2]
@@ -586,6 +596,80 @@ def masked_window_descriptors(
     grid = model.apply(params, resized)
     kp_xy = (pixel_yx[:, ::-1] - jnp.stack([x0, y0])[None, :]).astype(jnp.float32)
     return interpolate_features(grid, kp_xy, img.shape[:2], stride,
+                                impl=interp_impl)
+
+
+def _hat_sample_matrix(src_coords: jax.Array, n_src: int) -> jax.Array:
+    """(n_dst, n_src) two-tap bilinear sampling matrix at TRACED source
+    coordinates: row i holds weights (1-t, t) at floor/ceil of src_coords[i].
+
+    The hat form max(0, 1 - |src - j|) reproduces exactly the two-tap weights
+    cv2.warpAffine(INTER_LINEAR) uses, with BORDER_CONSTANT(0) falling out of
+    the clipping (out-of-range coords get partial/zero row mass). Shapes are
+    static; the coordinates (hence weights) may be traced values — this is
+    what lets a bbox-dependent warp live inside one jitted program.
+    """
+    src = jnp.arange(n_src, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src_coords[:, None] - src[None, :]))
+
+
+def bbox_crop_descriptors(
+    model: "DinoViT",
+    params,
+    rgb: jax.Array,        # (H, W, 3) float in [0,1], full frame
+    mask: jax.Array,       # (H, W) bool instance mask
+    pixel_yx: jax.Array,   # (n, 2) int image pixels per cloud point
+    out_size: int = 256,
+    stride: int = 8,
+    interp_impl: str = "gather",
+    padding: float = 0.0,
+) -> jax.Array:
+    """Fully in-graph visual frontend with the reference's bbox-square
+    rescale convention (dataset.py:322-337): mask -> bbox -> square crop
+    resized to `out_size` -> ViT -> bilinear token sampling at cloud pixels.
+
+    Semantically identical to the host path (`frontend.resize_crop` +
+    `DinoFeatureExtractor`) and to the TRAINING descriptor path
+    (train/driver.py::_frame_descriptors), so checkpoints trained on rescaled
+    crops see in-distribution descriptors — unlike `masked_window_descriptors`
+    whose fixed native-scale window changes the object's apparent size. The
+    warp is two thin hat-weight matmuls with traced bbox coordinates (static
+    shapes; parity vs the cv2.warpAffine host path tested in
+    tests/test_dinov2.py::TestBboxCropDescriptors), so a whole frame group
+    still batches as ONE vmapped XLA program.
+    """
+    h, w = rgb.shape[:2]
+    img = rgb * mask[..., None].astype(rgb.dtype)
+    # device-side mask bbox (left, top, right, bottom), frontend.mask_bbox
+    xs = mask.any(axis=0)
+    ys = mask.any(axis=1)
+    ix = jnp.arange(w, dtype=jnp.int32)
+    iy = jnp.arange(h, dtype=jnp.int32)
+    left = jnp.min(jnp.where(xs, ix, w))
+    right = jnp.max(jnp.where(xs, ix, -1)) + 1
+    top = jnp.min(jnp.where(ys, iy, h))
+    bottom = jnp.max(jnp.where(ys, iy, -1)) + 1
+    # frontend.resize_crop_transform: crop pixel (x, y) samples image at
+    # (s*x + cx - s*out/2, s*y + cy - s*out/2)
+    size = jnp.maximum(right - left, bottom - top).astype(jnp.float32)
+    size = size * (1.0 + padding)
+    cx = (right + left).astype(jnp.float32) / 2.0
+    cy = (bottom + top).astype(jnp.float32) / 2.0
+    s = size / out_size
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    tx = cx - s * (out_size / 2.0)
+    ty = cy - s * (out_size / 2.0)
+    ry = _hat_sample_matrix(s * i + ty, h)          # (out, H)
+    rx = _hat_sample_matrix(s * i + tx, w)          # (out, W)
+    hi = jax.lax.Precision.HIGHEST
+    crop = jnp.einsum("oh,hwc->owc", ry, img, precision=hi)
+    crop = jnp.einsum("pw,owc->opc", rx, crop, precision=hi)
+    ph = pw = out_size // stride
+    resized = resize_bilinear_matmul(crop, ph * 14, pw * 14)
+    grid = model.apply(params, resized)
+    kp = pixel_yx[:, ::-1].astype(jnp.float32)      # (n, 2) as (x, y)
+    kp_local = (kp - jnp.stack([tx, ty])[None, :]) / s
+    return interpolate_features(grid, kp_local, (out_size, out_size), stride,
                                 impl=interp_impl)
 
 

@@ -29,9 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 def auto_block_q(t: int) -> int:
     """Largest query block from the lane-friendly set that divides `t`
     (so the kernel adds no padding of its own); 128 if none divides — the
-    kernel then pads to the next 128 multiple, the cheapest residual."""
+    kernel then pads to the next 128 multiple, the cheapest residual.
+
+    Candidates are capped so the kernel's two (BQ, T) f32 buffers (logits +
+    exp) stay within ~8 MB of VMEM: BQ * T * 8 bytes <= 2^23 — at T=4096 a
+    512 block would need ~16.8 MB and Mosaic fails the compile."""
     for b in (512, 384, 256, 128):
-        if t % b == 0:
+        if t % b == 0 and b * t * 8 <= (1 << 23):
             return b
     return 128
 

@@ -31,6 +31,7 @@ def main():
     from cppf2_tpu.models.dinov2 import (
         VIT_L14,
         DinoFeatureExtractor,
+        bbox_crop_descriptors,
         interpolate_features,
         masked_window_descriptors,
     )
@@ -58,6 +59,11 @@ def main():
     def chain_img(a, out):
         leaf = jax.tree.leaves(out)[0]
         return (a[0] + (leaf.ravel()[0] * 1e-12).astype(a[0].dtype),) + a[1:]
+
+    def chain_last(a, out):
+        # perturb the LAST arg (the image) — the first may be a param pytree
+        leaf = jax.tree.leaves(out)[0]
+        return a[:-1] + (a[-1] + (leaf.ravel()[0] * 1e-12).astype(a[-1].dtype),)
 
     # --- window slice + resize only ------------------------------------
     @jax.jit
@@ -96,14 +102,25 @@ def main():
         cfg=dataclasses.replace(VIT_L14, attn_impl="pallas"))
     ext.init_random(hw=(crop, crop))
 
+    # params enter as a jit ARGUMENT: closing over the ViT-L tree inlines
+    # ~600 MB of literals into the module and the relay rejects the compile
+    # (CLAUDE.md / HTTP 413)
     @jax.jit
-    def full(im):
+    def full(params, im):
         return masked_window_descriptors(
-            ext.model, ext.params, im, mask, pixel_yx, window_yx,
+            ext.model, params, im, mask, pixel_yx, window_yx,
             crop=crop, stride=stride)
 
-    ms = chained_timer(full, chain_img, (rgb,))
+    ms = chained_timer(full, chain_last, (ext.params, rgb))
     print(f"masked_window_descriptors full (stride {stride}): {ms:.2f} ms")
+
+    @jax.jit
+    def full_bbox(params, im):
+        return bbox_crop_descriptors(
+            ext.model, params, im, mask, pixel_yx, stride=stride)
+
+    ms = chained_timer(full_bbox, chain_last, (ext.params, rgb))
+    print(f"bbox_crop_descriptors full (stride {stride}): {ms:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -213,7 +213,10 @@ class TestChunkedAttention:
         from cppf2_tpu.ops.pallas_attention import auto_block_q
 
         assert auto_block_q(1152) == 384   # stride-8 crop: 1025 -> 1152
-        assert auto_block_q(4224) == 384   # stride-4 crop: 4097 -> 4224
+        # stride-4 crop (4097 -> 4224): 384 divides but its (384, 4224) f32
+        # logits+exp buffers need ~13 MB of VMEM — over the cap, so the
+        # safe 128 block wins
+        assert auto_block_q(4224) == 128
         assert auto_block_q(1024) == 512
         assert auto_block_q(1280) == 256
         assert auto_block_q(100) == 128    # nothing divides -> kernel pads
@@ -270,3 +273,73 @@ class TestInt8Quant:
         pts = jnp.asarray(rng.uniform(5, 55, size=(12, 2)).astype(np.float32))
         feats = np.asarray(ex(img, pts))
         assert feats.shape == (12, 64) and np.isfinite(feats).all()
+
+
+class TestBboxCropDescriptors:
+    """The in-graph visual frontend must reproduce the host path's
+    bbox-rescale convention (frontend.resize_crop + DinoFeatureExtractor) —
+    the convention every shipped branch checkpoint was trained on
+    (train/driver.py::_frame_descriptors)."""
+
+    def test_hat_matrix_exact_interpolation(self, rng):
+        from cppf2_tpu.models.dinov2 import _hat_sample_matrix
+
+        sig = rng.normal(size=37).astype(np.float32)
+        coords = rng.uniform(0, 36, size=50).astype(np.float32)
+        w = np.asarray(_hat_sample_matrix(jnp.asarray(coords), 37))
+        got = w @ sig
+        want = np.interp(coords, np.arange(37), sig)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # out-of-range coords lose mass toward the zero border
+        w_edge = np.asarray(_hat_sample_matrix(jnp.asarray([-0.5, 36.5]), 37))
+        np.testing.assert_allclose(w_edge.sum(-1), [0.5, 0.5], atol=1e-6)
+
+    def test_matches_host_resize_crop_path(self, rng):
+        from cppf2_tpu.infer.frontend import mask_bbox, resize_crop
+        from cppf2_tpu.models.dinov2 import bbox_crop_descriptors
+
+        h, w = 240, 320
+        # smooth image: cv2.warpAffine quantizes bilinear weights to 1/32,
+        # so a white-noise image would amplify the crop delta for free
+        base = rng.uniform(0, 1, (h // 8, w // 8, 3)).astype(np.float32)
+        rgb = np.asarray(jax.image.resize(base, (h, w, 3), "bilinear"))
+        mask = np.zeros((h, w), bool)
+        mask[60:151, 110:229] = True
+        ys, xs = np.nonzero(mask)
+        sel = rng.integers(0, len(ys), 64)
+        pixel_yx = np.stack([ys[sel], xs[sel]], -1).astype(np.int32)
+
+        ext = DinoFeatureExtractor(cfg=TINY, stride=8)
+        ext.init_random(hw=(256, 256))
+
+        # host path, as dispatch_instance runs it (eval/driver.py:256-266)
+        rgb_masked = np.where(mask[..., None], rgb, 0)
+        crop, t = resize_crop(rgb_masked, bbox=mask_bbox(mask), out_size=256)
+        kp = pixel_yx[:, ::-1].astype(np.float64)
+        kp_local = (
+            np.linalg.inv(t)
+            @ np.concatenate([kp, np.ones((len(kp), 1))], -1).T
+        ).T[:, :2]
+        want = np.asarray(
+            ext(jnp.asarray(crop), jnp.asarray(kp_local.astype(np.float32))))
+
+        got = np.asarray(bbox_crop_descriptors(
+            ext.model, ext.params, jnp.asarray(rgb), jnp.asarray(mask),
+            jnp.asarray(pixel_yx), stride=8, interp_impl=ext.interp_impl))
+
+        assert got.shape == want.shape == (64, TINY.embed_dim)
+        cos = np.sum(got * want, -1) / np.maximum(
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1),
+            1e-12)
+        assert cos.min() > 0.99, f"convention drift: min cos {cos.min():.4f}"
+
+    def test_empty_mask_is_finite(self, rng):
+        from cppf2_tpu.models.dinov2 import bbox_crop_descriptors
+
+        ext = DinoFeatureExtractor(cfg=TINY, stride=8)
+        ext.init_random(hw=(256, 256))
+        rgb = jnp.asarray(rng.uniform(0, 1, (240, 320, 3)).astype(np.float32))
+        out = np.asarray(bbox_crop_descriptors(
+            ext.model, ext.params, rgb, jnp.zeros((240, 320), bool),
+            jnp.zeros((8, 2), jnp.int32), stride=8))
+        assert np.isfinite(out).all()
