@@ -135,7 +135,7 @@ def main():
     from cppf2_tpu.models.dinov2 import (
         VIT_L14,
         DinoFeatureExtractor,
-        masked_window_descriptors,
+        bbox_crop_descriptors,
     )
 
     crop = 256
@@ -157,9 +157,8 @@ def main():
     def pre_desc(vp, d, rgb, key):
         fi = preprocess_frame(d, mask, kmat, key,
                               res=cat.res, n_max=n, shot_k=k, crop=crop)
-        desc = masked_window_descriptors(
-            vit_model, vp, rgb, mask, fi.pixel_yx, fi.window_yx,
-            crop=crop, stride=stride,
+        desc = bbox_crop_descriptors(
+            vit_model, vp, rgb, mask, fi.pixel_yx, stride=stride,
         )
         return desc.sum() + fi.shot.sum()
 
@@ -168,9 +167,8 @@ def main():
         k_pre, k_pose = jax.random.split(key)
         fi = preprocess_frame(d, mask, kmat, k_pre,
                               res=cat.res, n_max=n, shot_k=k, crop=crop)
-        desc = masked_window_descriptors(
-            vit_model, vp, rgb, mask, fi.pixel_yx, fi.window_yx,
-            crop=crop, stride=stride,
+        desc = bbox_crop_descriptors(
+            vit_model, vp, rgb, mask, fi.pixel_yx, stride=stride,
         )
 
         def dino_apply_d(params, points, ti):
