@@ -245,6 +245,49 @@ class TestBatchedFramePath:
             assert np.isfinite(rt).all()
             assert np.linalg.norm(rt[:3, 3] - gt_t) < 0.25
 
+    def test_oversized_groups_chunk_to_buckets(self, monkeypatch):
+        # 11 same-(category, tier) detections must dispatch as a max-bucket
+        # (8) chunk plus a 3-padded-to-4 chunk, never compile a batch=11
+        # program (the compile cache stays O(categories x tiers x buckets));
+        # stub the group fn so no pose graph compiles
+        import jax
+        import jax.numpy as jnp
+
+        import cppf2_tpu.eval.driver as drv
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.eval.driver import REAL275_INTRINSICS, dispatch_frame
+
+        requested = []
+
+        def stub_group_fn(models, cat, pipe, run_opt, use_visual, use_geo,
+                          crop, stride, extractor, batch):
+            requested.append(batch)
+
+            def fn(dpp, spp, vp, rgb, depth, masks, k, keys):
+                z = jnp.zeros(masks.shape[0])
+                return (z.astype(jnp.int32), jnp.zeros((masks.shape[0], 3)),
+                        jnp.zeros((masks.shape[0], 3, 3)),
+                        jnp.zeros((masks.shape[0], 3)),
+                        jnp.zeros((masks.shape[0], 3)), z + 1.0, z)
+
+            return fn
+
+        monkeypatch.setattr(drv, "_frame_group_fn", stub_group_fn)
+        mask = np.zeros((480, 640), bool)
+        mask[100:160, 200:280] = True
+        dets = [("can", mask)] * 11
+
+        class Stub:
+            dino_params = shot_params = None
+
+        pend = dispatch_frame(
+            np.zeros((480, 640, 3), np.uint8), np.zeros((480, 640), np.float32),
+            dets, REAL275_INTRINSICS, {"can": Stub()}, PipelineConfig(),
+            jax.random.key(0))
+        assert requested == [8, 4]
+        assert sorted(len(p.idxs) for p in pend) == [3, 8]
+        assert sorted(i for p in pend for i in p.idxs) == list(range(11))
+
     def test_dispatch_frame_visual_smoke(self, synthetic_real275):
         # tiny ViT through the fused in-graph frontend, batch 2
         import jax
