@@ -272,7 +272,13 @@ def bench_multi_instance(rng, n_inst=3, reps=8, stride=8):
     from cppf2_tpu.models.dinov2 import VIT_L14, DinoFeatureExtractor
 
     pipe = PipelineConfig()
-    models = load_category_models(None, ["mug"])
+    # mixed frame: 2 mugs + 1 can -> TWO group programs (a batch-2 vmapped
+    # mug group and a batch-1 can group), the multi-category dispatch shape
+    # REAL275 frames actually have; a single-category frame would hide the
+    # per-group overhead, 3 distinct categories would triple the ~5-min
+    # ensemble compile for the same coverage
+    cats = ["mug", "mug", "can"]
+    models = load_category_models(None, sorted(set(cats)))
     ext = DinoFeatureExtractor(
         cfg=dataclasses.replace(
             VIT_L14, attn_impl="pallas",
@@ -292,7 +298,7 @@ def bench_multi_instance(rng, n_inst=3, reps=8, stride=8):
         depth = np.where(m, d, depth)
         masks.append(m)
     rgb = (rng.uniform(0, 255, (480, 640, 3))).astype(np.uint8)
-    dets = [("mug", m) for m in masks]
+    dets = [(c, m) for c, m in zip(cats, masks)]
 
     key = jax.random.key(0)
     # warm: compile + relay stream
