@@ -521,6 +521,27 @@ def evaluate_real275(
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.key(seed)
     results = []
+
+    # depth-2 pipeline: frame k+1's host work (image decode, mask stacking,
+    # dispatch) runs while frame k's groups compute on device — the fetch
+    # (the frame's ONE host sync) happens only after the next dispatch is in
+    # flight, so the chip never idles on cv2/pickle time
+    pending_frame = None  # (res, det_idx, pendings, pkl_basename)
+
+    def _finish(pf):
+        res, det_idx, pends, base = pf
+        outs = fetch_frames(pends)
+        for j, i in enumerate(det_idx):
+            out = outs.get(j)
+            if out is None:
+                continue
+            rt, scales, _ = out
+            res["pred_RTs"][i] = rt
+            res["pred_scales"][i] = scales
+        results.append(res)
+        with open(os.path.join(out_dir, base), "wb") as f:
+            pickle.dump(res, f)
+
     for pkl_path in pkls:
         with open(pkl_path, "rb") as f:
             res = pickle.load(f)
@@ -548,22 +569,15 @@ def evaluate_real275(
             dets.append((cat_name, res["pred_masks"][:, :, i].astype(bool)))
             det_idx.append(i)
         key, sub = jax.random.split(key)
-        outs = fetch_frames(dispatch_frame(
+        pends = dispatch_frame(
             rgb, depth, dets, REAL275_INTRINSICS, models, pipe, sub,
             dino_extractor=dino_extractor, run_opt=run_opt,
-        ))
-        for j, i in enumerate(det_idx):
-            out = outs.get(j)
-            if out is None:
-                continue
-            rt, scales, _ = out
-            res["pred_RTs"][i] = rt
-            res["pred_scales"][i] = scales
-        results.append(res)
-        with open(
-            os.path.join(out_dir, os.path.basename(pkl_path)), "wb"
-        ) as f:
-            pickle.dump(res, f)
+        )
+        if pending_frame is not None:
+            _finish(pending_frame)
+        pending_frame = (res, det_idx, pends, os.path.basename(pkl_path))
+    if pending_frame is not None:
+        _finish(pending_frame)
 
     return compute_degree_cm_map(
         results, SYNSET_NAMES, os.path.join(out_dir, "plots"),
