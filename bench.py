@@ -304,15 +304,21 @@ def bench_multi_instance(rng, n_inst=3, reps=8, stride=8):
     # warm: compile + relay stream
     fetch_frames(dispatch_frame(rgb, depth, dets, REAL275_K, models, pipe,
                                 key, dino_extractor=ext))
+    # depth-2 frame pipeline, exactly the production eval loop
+    # (evaluate_real275): frame r+1 dispatches before frame r's fetch
     t0 = time.time()
     done = 0
+    prev = None
     for r in range(reps):
         key, sub = jax.random.split(key)
-        outs = fetch_frames(dispatch_frame(
+        cur = dispatch_frame(
             rgb, depth, dets, REAL275_K, models, pipe, sub,
             dino_extractor=ext,
-        ))
-        done += sum(out is not None for out in outs.values())
+        )
+        if prev is not None:
+            done += sum(o is not None for o in fetch_frames(prev).values())
+        prev = cur
+    done += sum(o is not None for o in fetch_frames(prev).values())
     dt = time.time() - t0
     assert done == reps * len(masks), "instance(s) rejected in multi-inst bench"
     return done / dt
