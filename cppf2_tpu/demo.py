@@ -127,6 +127,12 @@ def main():
             if p.lower().endswith((".png", ".jpg", ".jpeg"))
         )[args.start : args.end]
         ddir = args.depth_dir or args.rgb_dir.replace("rgb", "depth")
+        if ddir == args.rgb_dir:
+            # the 'rgb'->'depth' substitution was a no-op: without an explicit
+            # --depth-dir we would silently read the RGB PNGs as depth frames
+            raise SystemExit(
+                f"--depth-dir required: cannot derive a depth dir from "
+                f"{args.rgb_dir!r} (no 'rgb' in the path)")
         depth_paths = []
         for p in rgb_paths:
             stem = os.path.splitext(os.path.basename(p))[0]

@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+import re
 from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional
 
@@ -93,8 +94,14 @@ def _reference_ckpt_path(root: str, branch: str, name: str):
                      "version_*", "checkpoints", "last.ckpt"),
         os.path.join(root, branch, name, "last.ckpt"),
     ]
+    def natkey(path):
+        # numeric-aware ordering: version_10 > version_9 (a lexicographic
+        # sort would silently pick the older run)
+        return [int(t) if t.isdigit() else t
+                for t in re.split(r"(\d+)", path)]
+
     for p in pats:
-        hits = sorted(glob.glob(p))
+        hits = sorted(glob.glob(p), key=natkey)
         if hits:
             return hits[-1]
     return None
@@ -253,9 +260,11 @@ def dispatch_instance(
     # costs seconds at relay bandwidth; measured 0.55 inst/s because of it).
     # Degenerate instances (count < 32, blown-up extent) burn one wasted
     # pose dispatch — they are rare and the sync they'd save costs more.
-    if dino_extractor is not None:
+    bbox = mask_bbox(mask)
+    if dino_extractor is not None and bbox is not None:
+        # (an all-empty detection mask has no bbox: skip the crop — the pose
+        # dispatch still runs and _finalize_instance rejects it via count<32)
         rgb_masked = np.where(mask[..., None], rgb, 0).astype(np.uint8)
-        bbox = mask_bbox(mask)
         crop_img, transform = resize_crop(rgb_masked, bbox=bbox, out_size=256)
         inv_t = jnp.asarray(np.linalg.inv(transform).astype(np.float32))
         # upload the crop as uint8 (196 KB) and normalize on device —

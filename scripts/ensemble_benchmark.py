@@ -104,11 +104,14 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
     pose_each = (make_pose(True, False), make_pose(False, True)) if per_branch else None
 
     def to_row(est, i, f, handle_vis):
-        # ONE host fetch per frame (each np.asarray costs ~80 ms via relay)
-        rot, trans, scale, snorm, g_rot, g_trans, g_snorm, g_bound = (
-            jax.device_get((est.rotation, est.translation, est.scale,
-                            est.scale_norm, f.rotation, f.translation,
-                            f.scale_norm, f.bound))
+        # ONE host fetch per frame (each np.asarray costs ~80 ms via relay);
+        # est.pick rides the same fetch — int(est.pick) later would be a
+        # second per-frame sync
+        (rot, trans, scale, snorm, g_rot, g_trans, g_snorm, g_bound,
+         pick) = jax.device_get(
+            (est.rotation, est.translation, est.scale,
+             est.scale_norm, f.rotation, f.translation,
+             f.scale_norm, f.bound, est.pick)
         )
         rt = np.eye(4)
         rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
@@ -129,7 +132,7 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
             "pred_scores": np.array([1.0]),
         }
         err = pose_error_degree_cm(rt, gt_rt, cat_name, handle_visibility=handle_vis)
-        return res, err
+        return res, err, int(pick)
 
     results, errs, picks, vis = [], [], [], []
     branch_errs = {"dino": [], "shot": []}
@@ -144,15 +147,15 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         desc = jnp.asarray(_frame_descriptors(fd, extractor))
         est = pose_both(dino_params, shot_params, fi, desc,
                         jax.random.fold_in(key, 1))
-        row, err = to_row(est, i, f, handle_vis)
-        picks.append(int(est.pick))  # est already fetched above; cheap
+        row, err, pick = to_row(est, i, f, handle_vis)
+        picks.append(pick)
         results.append(row)
         errs.append(err)
         if per_branch:
             for name, fn in zip(("dino", "shot"), pose_each):
                 eb = fn(dino_params, shot_params, fi, desc,
                         jax.random.fold_in(key, 1))
-                _, err_b = to_row(eb, i, f, handle_vis)
+                _, err_b, _ = to_row(eb, i, f, handle_vis)
                 branch_errs[name].append(err_b)
         if (i + 1) % 25 == 0:
             progress(f"[{cat_name}] eval {i + 1}/{n_frames} "

@@ -311,14 +311,18 @@ class TestBatchedFramePath:
         )
         ext.init_random(hw=(256, 256))
         pipe = PipelineConfig(n_points=512, num_pairs=1024, opt_steps=5)
-        dets = [("can", m0), ("can", np.roll(m0, 30, 1))]
+        # det 2: an all-empty mask (a plausible Mask R-CNN artifact) must be
+        # rejected as None, not crash the visual crop (bbox=None regression)
+        dets = [("can", m0), ("can", np.roll(m0, 30, 1)),
+                ("can", np.zeros_like(m0))]
         out = fetch_frames(dispatch_frame(
             rgb, depth, dets, REAL275_INTRINSICS, models, pipe,
             jax.random.key(0), dino_extractor=ext, run_opt=False))
-        assert sorted(out) == [0, 1]
+        assert sorted(out) == [0, 1, 2]
         for i in (0, 1):
             rt, scales, loss = out[i]
             assert np.isfinite(rt).all() and np.isfinite(loss)
+        assert out[2] is None
 
 
 @pytest.mark.slow
