@@ -65,12 +65,16 @@ def eval_config(cat_name, params_f32, frames, pipe, n_points, seed,
     errs = []
     for i, f in enumerate(frames):
         est = pose_frame(params_f32, f.depth, jax.random.key(1000 + i))
+        # ONE host fetch per frame (each sync costs ~80 ms via the relay)
+        rot, trans, snorm, g_rot, g_trans, g_snorm = jax.device_get(
+            (est.rotation, est.translation, est.scale_norm,
+             f.rotation, f.translation, f.scale_norm))
         rt = np.eye(4)
-        rt[:3, :3] = np.asarray(est.rotation) * max(float(est.scale_norm), 1e-9)
-        rt[:3, 3] = np.asarray(est.translation)
+        rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
+        rt[:3, 3] = np.asarray(trans)
         gt = np.eye(4)
-        gt[:3, :3] = np.asarray(f.rotation) * float(f.scale_norm)
-        gt[:3, 3] = np.asarray(f.translation)
+        gt[:3, :3] = np.asarray(g_rot) * float(g_snorm)
+        gt[:3, 3] = np.asarray(g_trans)
         errs.append(pose_error_degree_cm(rt, gt, cat_name))
     errs = np.asarray(errs)
     return {
