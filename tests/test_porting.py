@@ -267,3 +267,16 @@ class TestReleaseLayoutDressRehearsal:
         torch.save({"state_dict": tm.state_dict()}, ck / "last.ckpt")
         with pytest.raises(ValueError, match="num_more"):
             load_category_models(str(tmp_path), ["can"], infer_dtype="float32")
+
+    def test_ckpt_path_orders_versions_numerically(self, tmp_path):
+        # version_10 must outrank version_9 (lexicographic sort picks the
+        # older run silently)
+        from cppf2_tpu.eval.driver import _reference_ckpt_path
+
+        for v in (9, 10):
+            ck = (tmp_path / "shot" / "can-num_more-3" / "lightning_logs"
+                  / f"version_{v}" / "checkpoints")
+            ck.mkdir(parents=True)
+            (ck / "last.ckpt").write_bytes(b"")
+        p = _reference_ckpt_path(str(tmp_path), "shot", "can")
+        assert "version_10" in p, p
