@@ -498,6 +498,39 @@ def fetch_frames(pendings):
     return out
 
 
+def _debug_frame(res, posed, base, rgb, out_dir):
+    """Reference eval.py:374-395 debug output: per-instance rotation/
+    translation errors vs the first same-class gt, plus one pose-overlay
+    PNG per frame under {out_dir}/debug/."""
+    import cv2
+
+    from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
+    from cppf2_tpu.utils.viz import draw_pose_overlay
+
+    gt_ids = [int(c) for c in res["gt_class_ids"]]
+    overlay = rgb.copy() if rgb is not None else None
+    for i in posed:
+        cls_id = int(res["pred_class_ids"][i])
+        cat = SYNSET_NAMES[cls_id]
+        if cls_id in gt_ids:
+            g = gt_ids.index(cls_id)
+            hv = int(np.asarray(res["gt_handle_visibility"])[g])
+            err = pose_error_degree_cm(
+                res["pred_RTs"][i], res["gt_RTs"][g], cat,
+                handle_visibility=hv)
+            print(f"[debug] {base} inst {i} {cat}: "
+                  f"rot {err[0]:.1f} deg, tr {err[1]:.1f} cm")
+        if overlay is not None:
+            overlay = draw_pose_overlay(
+                overlay, res["pred_RTs"][i], res["pred_scales"][i],
+                REAL275_INTRINSICS)
+    if overlay is not None and posed:
+        dbg_dir = os.path.join(out_dir, "debug")
+        os.makedirs(dbg_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(dbg_dir, base.replace(".pkl", "") + ".png"),
+                    np.asarray(overlay)[:, :, ::-1])
+
+
 def evaluate_real275(
     detections_dir: str,
     image_root: str,
@@ -508,8 +541,15 @@ def evaluate_real275(
     limit: Optional[int] = None,
     run_opt: bool = True,
     seed: int = 0,
+    debug: bool = False,
 ):
-    """Full REAL275 evaluation (gated on dataset + detection pkls on disk)."""
+    """Full REAL275 evaluation (gated on dataset + detection pkls on disk).
+
+    `debug=True` mirrors the reference's debug path (eval.py:374-395):
+    per-instance rotation/translation errors against the first same-class
+    gt are printed, and a pose-overlay PNG per frame lands in
+    `{out_dir}/debug/`.
+    """
     import cv2
 
     pipe = pipe or PipelineConfig()
@@ -535,11 +575,12 @@ def evaluate_real275(
     # dispatch) runs while frame k's groups compute on device — the fetch
     # (the frame's ONE host sync) happens only after the next dispatch is in
     # flight, so the chip never idles on cv2/pickle time
-    pending_frame = None  # (res, det_idx, pendings, pkl_basename)
+    pending_frame = None  # (res, det_idx, pendings, pkl_basename, rgb)
 
     def _finish(pf):
-        res, det_idx, pends, base = pf
+        res, det_idx, pends, base, rgb_dbg = pf
         outs = fetch_frames(pends)
+        posed = []
         for j, i in enumerate(det_idx):
             out = outs.get(j)
             if out is None:
@@ -547,6 +588,9 @@ def evaluate_real275(
             rt, scales, _ = out
             res["pred_RTs"][i] = rt
             res["pred_scales"][i] = scales
+            posed.append(i)
+        if debug:
+            _debug_frame(res, posed, base, rgb_dbg, out_dir)
         results.append(res)
         with open(os.path.join(out_dir, base), "wb") as f:
             pickle.dump(res, f)
@@ -584,7 +628,8 @@ def evaluate_real275(
         )
         if pending_frame is not None:
             _finish(pending_frame)
-        pending_frame = (res, det_idx, pends, os.path.basename(pkl_path))
+        pending_frame = (res, det_idx, pends, os.path.basename(pkl_path),
+                         rgb if debug else None)
     if pending_frame is not None:
         _finish(pending_frame)
 
@@ -607,10 +652,13 @@ def main():
     ap.add_argument("--dino-ckpt", default=None)
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--no-opt", action="store_true")
+    ap.add_argument("--debug", action="store_true",
+                    help="per-instance errors + overlay PNGs (eval.py:374-395)")
     args = ap.parse_args()
     evaluate_real275(
         args.detections, args.images, args.out, args.ckpts,
         dino_ckpt=args.dino_ckpt, limit=args.limit, run_opt=not args.no_opt,
+        debug=args.debug,
     )
 
 
