@@ -441,7 +441,11 @@ def dispatch_frame(
 
     pendings = []
     if groups:
-        rgb_j = jnp.asarray(rgb)      # uint8: one small upload per frame
+        # rgb feeds only the visual frontend: geo-only frames skip the
+        # ~0.9 MB upload (~0.2 s at relay bandwidth) and pass a 1x1 dummy
+        visual_on = dino_extractor is not None and use_visual
+        rgb_j = (jnp.asarray(rgb) if visual_on
+                 else jnp.zeros((1, 1, 3), jnp.uint8))
         depth_j = jnp.asarray(depth_m.astype(np.float32))
         k_j = jnp.asarray(intrinsics.astype(np.float32))
         stride = getattr(dino_extractor, "stride", 8)
