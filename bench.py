@@ -83,7 +83,32 @@ def chained_fps(run_once, k=32):
     return 1.0 / dt
 
 
+def _relay_guard():
+    """Fail fast (with a parseable JSON line) when the axon loopback relay is
+    dead: the first jax op would otherwise block forever waiting on the
+    remote-compile endpoint, hanging whatever harness invoked the bench.
+    Only active in loopback-relay environments (AXON_LOOPBACK_RELAY)."""
+    if os.environ.get("AXON_LOOPBACK_RELAY") != "1":
+        return
+    import socket
+
+    s = socket.socket()
+    s.settimeout(2)
+    try:
+        s.connect(("127.0.0.1", 8093))
+    except OSError:
+        print(json.dumps({
+            "metric": "real275_e2e_fps_per_chip", "value": 0.0,
+            "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": "axon relay 127.0.0.1:8093 unreachable — TPU down",
+        }))
+        raise SystemExit(1)
+    finally:
+        s.close()
+
+
 def main():
+    _relay_guard()
     import jax
     import jax.numpy as jnp
 
