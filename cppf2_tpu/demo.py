@@ -127,9 +127,11 @@ def main():
             if p.lower().endswith((".png", ".jpg", ".jpeg"))
         )[args.start : args.end]
         ddir = args.depth_dir or args.rgb_dir.replace("rgb", "depth")
-        if ddir == args.rgb_dir:
+        if args.depth_dir is None and ddir == args.rgb_dir:
             # the 'rgb'->'depth' substitution was a no-op: without an explicit
             # --depth-dir we would silently read the RGB PNGs as depth frames
+            # (an explicit --depth-dir equal to --rgb-dir stays allowed: depth
+            # may live as {stem}.npy next to the RGB PNGs)
             raise SystemExit(
                 f"--depth-dir required: cannot derive a depth dir from "
                 f"{args.rgb_dir!r} (no 'rgb' in the path)")

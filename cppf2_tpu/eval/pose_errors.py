@@ -53,3 +53,31 @@ def pose_error_degree_cm(
     if not np.isfinite(deg):  # degenerate rotation block (det ~ 0) -> worst case
         deg = 180.0
     return np.array([deg, np.linalg.norm(t1 - t2) * 100.0])
+
+
+def fetch_rt_pair(est, frame, extras=()):
+    """Fetch a pose estimate + its gt frame as NOCS-convention matrices in
+    ONE host sync (each sync costs ~80 ms through the TPU relay).
+
+    Returns (rt, scales, gt_rt, gt_scales, *extras_fetched): `rt`/`gt_rt`
+    carry R * |s| in the rotation block with unit-normalized `scales` —
+    exactly what the mAP harness expects (utils/util.py:2619-2634 divides
+    the norm back out via det^(1/3)). `extras` are additional device values
+    to ride the same fetch (e.g. est.pick)."""
+    import jax
+
+    vals = jax.device_get(
+        (est.rotation, est.translation, est.scale, est.scale_norm,
+         frame.rotation, frame.translation, frame.scale_norm, frame.bound)
+        + tuple(extras)
+    )
+    rot, trans, scale, snorm, g_rot, g_trans, g_snorm, g_bound = vals[:8]
+    rt = np.eye(4)
+    rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
+    rt[:3, 3] = np.asarray(trans)
+    scales = np.asarray(scale) / max(float(snorm), 1e-9)
+    gt_rt = np.eye(4)
+    gt_rt[:3, :3] = np.asarray(g_rot) * float(g_snorm)
+    gt_rt[:3, 3] = np.asarray(g_trans)
+    gt_scales = np.asarray(g_bound) / float(g_snorm)
+    return (rt, scales, gt_rt, gt_scales) + tuple(vals[8:])

@@ -24,7 +24,7 @@ import numpy as np
 from cppf2_tpu.config import CATEGORIES, PipelineConfig
 from cppf2_tpu.core.geometry import fibonacci_sphere
 from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
-from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
+from cppf2_tpu.eval.pose_errors import fetch_rt_pair, pose_error_degree_cm
 from cppf2_tpu.infer.frontend import preprocess_frame
 from cppf2_tpu.infer.pipeline import estimate_pose_branch
 from cppf2_tpu.models import ShotBranch
@@ -74,16 +74,7 @@ def main():
         errs = []
         for i, f in enumerate(frames):
             est = pose(f.depth, jax.random.key(500 + i))
-            # ONE host fetch per frame (each sync costs ~80 ms via the relay)
-            rot, trans, snorm, g_rot, g_trans, g_snorm = jax.device_get(
-                (est.rotation, est.translation, est.scale_norm,
-                 f.rotation, f.translation, f.scale_norm))
-            rt = np.eye(4)
-            rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
-            rt[:3, 3] = np.asarray(trans)
-            gt = np.eye(4)
-            gt[:3, :3] = np.asarray(g_rot) * float(g_snorm)
-            gt[:3, 3] = np.asarray(g_trans)
+            rt, _, gt, _ = fetch_rt_pair(est, f)
             errs.append(pose_error_degree_cm(rt, gt, args.category))
         errs = np.asarray(errs)
         results[dt] = errs

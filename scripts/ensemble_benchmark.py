@@ -36,7 +36,7 @@ import numpy as np
 from cppf2_tpu.config import CATEGORIES, PipelineConfig, SYNSET_NAMES
 from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
-from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
+from cppf2_tpu.eval.pose_errors import fetch_rt_pair, pose_error_degree_cm
 from cppf2_tpu.infer.frontend import preprocess_frame
 from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
 from cppf2_tpu.models import DinoBranch, ShotBranch
@@ -107,24 +107,13 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         # ONE host fetch per frame (each np.asarray costs ~80 ms via relay);
         # est.pick rides the same fetch — int(est.pick) later would be a
         # second per-frame sync
-        (rot, trans, scale, snorm, g_rot, g_trans, g_snorm, g_bound,
-         pick) = jax.device_get(
-            (est.rotation, est.translation, est.scale,
-             est.scale_norm, f.rotation, f.translation,
-             f.scale_norm, f.bound, est.pick)
-        )
-        rt = np.eye(4)
-        rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
-        rt[:3, 3] = np.asarray(trans)
-        scales = np.asarray(scale) / max(float(snorm), 1e-9)
-        gt_rt = np.eye(4)
-        gt_rt[:3, :3] = np.asarray(g_rot) * float(g_snorm)
-        gt_rt[:3, 3] = np.asarray(g_trans)
+        rt, scales, gt_rt, gt_scales, pick = fetch_rt_pair(
+            est, f, extras=(est.pick,))
         res = {
             "image_path": f"synth_{i}",
             "gt_class_ids": np.array([cls_id]),
             "gt_RTs": gt_rt[None],
-            "gt_scales": (np.asarray(g_bound) / float(g_snorm))[None],
+            "gt_scales": gt_scales[None],
             "gt_handle_visibility": np.array([handle_vis]),
             "pred_class_ids": np.array([cls_id]),
             "pred_RTs": rt[None],

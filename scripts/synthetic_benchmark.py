@@ -31,6 +31,7 @@ from cppf2_tpu.config import CATEGORIES, PipelineConfig, SYNSET_NAMES, TrainConf
 from cppf2_tpu.core.geometry import fibonacci_sphere
 from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
+from cppf2_tpu.eval.pose_errors import fetch_rt_pair, pose_error_degree_cm
 from cppf2_tpu.infer.frontend import preprocess_frame
 from cppf2_tpu.infer.pipeline import (
     estimate_pose_branch,
@@ -195,33 +196,18 @@ def eval_one(cat_name, model, state, n_frames, pipe, n_points, seed, progress,
             est = _dino_frame(f, jax.random.key(1000 + i))
         else:
             est = pose_frame(state.params, f.depth, jax.random.key(1000 + i))
-        # ONE host fetch per frame (each sync costs ~80 ms via the relay)
-        rot, trans, scale, snorm, g_rot, g_trans, g_snorm, g_bound = (
-            jax.device_get((est.rotation, est.translation, est.scale,
-                            est.scale_norm, f.rotation, f.translation,
-                            f.scale_norm, f.bound)))
-        rt = np.eye(4)
-        rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
-        rt[:3, 3] = np.asarray(trans)
-        scales = np.asarray(scale) / max(float(snorm), 1e-9)
-        # NOCS pkl convention: the scale norm is folded into the rotation block
-        # and scales are unit-normalized (the harness divides it back out via
-        # det^(1/3) — utils/util.py:2619-2634)
-        gt_rt = np.eye(4)
-        gt_rt[:3, :3] = np.asarray(g_rot) * float(g_snorm)
-        gt_rt[:3, 3] = np.asarray(g_trans)
+        rt, scales, gt_rt, gt_scales = fetch_rt_pair(est, f)
         results.append({
             "image_path": f"synth_{i}",
             "gt_class_ids": np.array([cls_id]),
             "gt_RTs": gt_rt[None],
-            "gt_scales": (np.asarray(g_bound) / float(g_snorm))[None],
+            "gt_scales": gt_scales[None],
             "gt_handle_visibility": np.array([handle_vis]),
             "pred_class_ids": np.array([cls_id]),
             "pred_RTs": rt[None],
             "pred_scales": scales[None],
             "pred_scores": np.array([1.0]),
         })
-        from cppf2_tpu.eval.pose_errors import pose_error_degree_cm
 
         e = pose_error_degree_cm(rt, gt_rt, cat_name, handle_visibility=handle_vis)
         errs.append(e)
