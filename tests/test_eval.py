@@ -238,3 +238,27 @@ class TestMAP:
             pose_dict = pickle.load(f)
         assert pose_dict["degree_thres"] == [5, 10, 15, 360]
         assert pose_dict["aps"].shape == (len(SYNSETS) + 1, 4, 4)
+
+
+class TestFetchRtPair:
+    def test_nocs_convention_matrices(self):
+        from collections import namedtuple
+
+        from cppf2_tpu.eval.pose_errors import fetch_rt_pair
+
+        Est = namedtuple("Est", "rotation translation scale scale_norm pick")
+        Frame = namedtuple("Frame", "rotation translation scale_norm bound")
+        r = np.eye(3, dtype=np.float32)
+        est = Est(r, np.array([1.0, 2.0, 3.0], np.float32),
+                  np.array([0.6, 0.8, 0.0], np.float32), np.float32(2.0),
+                  np.int32(1))
+        f = Frame(r, np.zeros(3, np.float32), np.float32(0.5),
+                  np.array([0.3, 0.4, 0.0], np.float32))
+        rt, scales, gt_rt, gt_scales, pick = fetch_rt_pair(
+            est, f, extras=(est.pick,))
+        np.testing.assert_allclose(rt[:3, :3], r * 2.0)
+        np.testing.assert_allclose(rt[:3, 3], [1, 2, 3])
+        np.testing.assert_allclose(scales, [0.3, 0.4, 0.0])
+        np.testing.assert_allclose(gt_rt[:3, :3], r * 0.5)
+        np.testing.assert_allclose(gt_scales, [0.6, 0.8, 0.0])
+        assert int(pick) == 1
