@@ -83,28 +83,55 @@ def chained_fps(run_once, k=32):
     return 1.0 / dt
 
 
-def _relay_guard():
-    """Fail fast (with a parseable JSON line) when the axon loopback relay is
-    dead: the first jax op would otherwise block forever waiting on the
-    remote-compile endpoint, hanging whatever harness invoked the bench.
-    Only active in loopback-relay environments (AXON_LOOPBACK_RELAY)."""
-    if os.environ.get("AXON_LOOPBACK_RELAY") != "1":
-        return
+def _relay_up(timeout=2.0):
     import socket
 
     s = socket.socket()
-    s.settimeout(2)
+    s.settimeout(timeout)
     try:
         s.connect(("127.0.0.1", 8093))
+        return True
     except OSError:
-        print(json.dumps({
-            "metric": "real275_e2e_fps_per_chip", "value": 0.0,
-            "unit": "frames/sec", "vs_baseline": 0.0,
-            "error": "axon relay 127.0.0.1:8093 unreachable — TPU down",
-        }))
-        raise SystemExit(1)
+        return False
     finally:
         s.close()
+
+
+def _relay_guard():
+    """Survive a transient relay outage, fail fast on a permanent one.
+
+    When the axon loopback relay is dead, the first jax op blocks forever
+    waiting on the remote-compile endpoint, hanging whatever harness invoked
+    the bench — so we probe the port first. A dead probe re-tries every 30 s
+    for up to BENCH_RELAY_WAIT_S (default 600 s) before emitting a parseable
+    failure JSON line: round 3 lost its driver-captured number to a fail-fast
+    on what may have been a transient outage. Only active in loopback-relay
+    environments (AXON_LOOPBACK_RELAY)."""
+    if os.environ.get("AXON_LOOPBACK_RELAY") != "1":
+        return
+    import sys
+
+    budget = float(os.environ.get("BENCH_RELAY_WAIT_S", "600"))
+    deadline = time.time() + budget
+    waited = False
+    while True:
+        if _relay_up():
+            if waited:
+                print("bench: relay back up, proceeding", file=sys.stderr)
+            return
+        if time.time() >= deadline:
+            break
+        waited = True
+        print("bench: relay 127.0.0.1:8093 down, re-probing in 30 s "
+              f"({deadline - time.time():.0f} s left)", file=sys.stderr)
+        time.sleep(min(30.0, max(0.0, deadline - time.time())))
+    print(json.dumps({
+        "metric": "real275_e2e_fps_per_chip", "value": 0.0,
+        "unit": "frames/sec", "vs_baseline": 0.0,
+        "error": "axon relay 127.0.0.1:8093 unreachable for "
+                 f"{budget:.0f} s — TPU down",
+    }))
+    raise SystemExit(1)
 
 
 def main():
@@ -208,8 +235,11 @@ def main():
     e2e_s4_once = make_e2e_full(4) if stride != 4 else e2e_full_once
 
     # ---- geo-only e2e (round-2 headline): no visual frontend
+    # desc enters as a jit ARGUMENT like the param trees — a closed-over
+    # (8192, 1024) f32 is inlined as a ~32 MB serialized-module constant,
+    # the same relay compile-size hazard as closed-over params
     @jax.jit
-    def e2e_geo(dpp, spp, depth, key):
+    def e2e_geo(dpp, spp, desc, depth, key):
         k_pre, k_pose = jax.random.split(key)
         fi = preprocess_frame(
             depth, mask_j, k_j, k_pre,
@@ -217,7 +247,7 @@ def main():
         )
 
         def dino_apply(params, points, ti):
-            return dino_m.apply(params, points, desc_j, ti)
+            return dino_m.apply(params, points, desc, ti)
 
         def shot_apply(params, points, ti):
             return shot_m.apply(params, points, fi.shot, fi.normal, ti)
@@ -229,17 +259,17 @@ def main():
         )
 
     def e2e_geo_once(key, carry):
-        est = e2e_geo(dp, sp, depth0 + carry * 1e-12, key)
+        est = e2e_geo(dp, sp, desc_j, depth0 + carry * 1e-12, key)
         return est.translation[0]
 
     # ---- pose graph only (round-1 headline; features precomputed)
     @jax.jit
-    def graph(dpp, spp, pc, key):
+    def graph(dpp, spp, desc, shot, nrm, pc, key):
         def dino_apply(params, points, ti):
-            return dino_m.apply(params, points, desc_j, ti)
+            return dino_m.apply(params, points, desc, ti)
 
         def shot_apply(params, points, ti):
-            return shot_m.apply(params, points, shot0, nrm0, ti)
+            return shot_m.apply(params, points, shot, nrm, ti)
 
         return estimate_pose_ensemble(
             dino_apply, dpp, shot_apply, spp,
@@ -247,7 +277,7 @@ def main():
         )
 
     def graph_once(key, carry):
-        est = graph(dp, sp, pc0 + carry * 1e-12, key)
+        est = graph(dp, sp, desc_j, shot0, nrm0, pc0 + carry * 1e-12, key)
         return est.translation[0]
 
     # compile all

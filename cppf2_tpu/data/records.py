@@ -27,8 +27,12 @@ class RecordWriter:
     """Stream records of a fixed schema into a container file.
 
     Records go straight to disk (the header's record count is patched on
-    close), so dumping a reference-scale 120k-record dataset holds one
-    record in memory, not the file."""
+    close and every `count_patch_every` appends, so a crash mid-dump loses
+    at most the tail since the last patch rather than the whole file), so
+    dumping a reference-scale 120k-record dataset holds one record in
+    memory, not the file."""
+
+    COUNT_PATCH_EVERY = 256
 
     def __init__(self, path: str, schema: Dict[str, tuple]):
         """schema: name -> (shape tuple, dtype)."""
@@ -63,12 +67,20 @@ class RecordWriter:
             assert int(arr.size) == int(np.prod(want or (1,))), (name, arr.shape, want)
             self._f.write(arr.reshape(want).tobytes())
         self.n += 1
+        if self.n % self.COUNT_PATCH_EVERY == 0:
+            self._patch_count()
+
+    def _patch_count(self):
+        end = self._f.tell()
+        self._f.seek(self._count_pos)
+        self._f.write(struct.pack("<Q", self.n))
+        self._f.seek(end)
+        self._f.flush()
 
     def close(self):
         if self._f is None:
             return
-        self._f.seek(self._count_pos)
-        self._f.write(struct.pack("<Q", self.n))
+        self._patch_count()
         self._f.close()
         self._f = None
 
@@ -123,6 +135,12 @@ class RecordReader:
                 self._offsets.append(off)
             data_start = f.tell()
         self._mm = np.memmap(path, np.uint8, "r", offset=data_start)
+        if self.stride:
+            # the file size is the authoritative record count: it recovers
+            # the tail a crashed writer appended after its last header patch,
+            # and clamps safely if the file was truncated (the header count
+            # is only patched every COUNT_PATCH_EVERY appends + on close)
+            self.n = len(self._mm) // self.stride
 
     def gather(self, name: str, record_ids: Sequence[int]) -> np.ndarray:
         """Stack one field over record ids -> (len(ids), *shape)."""

@@ -261,7 +261,9 @@ def dispatch_instance(
     # Degenerate instances (count < 32, blown-up extent) burn one wasted
     # pose dispatch — they are rare and the sync they'd save costs more.
     bbox = mask_bbox(mask)
-    if dino_extractor is not None and bbox is not None:
+    if use_visual and dino_extractor is not None and bbox is not None:
+        # (gated on use_visual too: in geo-only mode the pose graph never
+        # consumes desc, so a ViT forward here would be pure waste)
         # (an all-empty detection mask has no bbox: skip the crop — the pose
         # dispatch still runs and _finalize_instance rejects it via count<32)
         rgb_masked = np.where(mask[..., None], rgb, 0).astype(np.uint8)
@@ -352,8 +354,13 @@ def _frame_group_fn(models: CategoryModels, cat, pipe: PipelineConfig,
     """
     if models._pose_fns is None:
         models._pose_fns = {}
+    # key the compile cache on the extractor's *behavior* (cfg is a frozen
+    # dataclass), not id(): a gc'd extractor's address can be reused and
+    # silently hit a program that closed over the old model config
+    ext_key = (None if extractor is None
+               else (extractor.cfg, extractor.stride, extractor.interp_impl))
     k = ("frame", pipe, run_opt, use_visual, use_geo, crop, stride,
-         id(extractor), batch)
+         ext_key, batch)
     if k in models._pose_fns:
         return models._pose_fns[k]
     dino_m, shot_m = models.dino_model, models.shot_model
@@ -448,7 +455,10 @@ def dispatch_frame(
                  else jnp.zeros((1, 1, 3), jnp.uint8))
         depth_j = jnp.asarray(depth_m.astype(np.float32))
         k_j = jnp.asarray(intrinsics.astype(np.float32))
-        stride = getattr(dino_extractor, "stride", 8)
+        # .stride is required, not getattr'd with a default: a duck-typed
+        # extractor missing it must fail loudly rather than silently run at
+        # a descriptor resolution its checkpoint wasn't trained on
+        stride = dino_extractor.stride if visual_on else 0
 
     for (cat_name, crop), members in groups.items():
         cat = get_category(cat_name)

@@ -72,6 +72,15 @@ void* rec_open(const char* path) {
   memcpy(&r->stride, r->base + 24, 8);
   r->fields = reinterpret_cast<const FieldDesc*>(r->base + 32);
   r->data = r->base + 32 + r->n_fields * sizeof(FieldDesc);
+  if (r->stride > 0) {
+    // the file size is the authoritative record count: it recovers the tail
+    // a crashed writer appended after its last header patch, and clamps
+    // safely if the file was truncated (the header count is only patched
+    // periodically + on close)
+    size_t data_start = 32 + r->n_fields * sizeof(FieldDesc);
+    r->n_records =
+        r->size > data_start ? (r->size - data_start) / r->stride : 0;
+  }
   return r;
 }
 

@@ -121,6 +121,67 @@ class TestRecords:
         monkeypatch.setattr(natmod, "load", lambda: None)
         self._roundtrip(tmp_path, rng, "python")
 
+    def _crashed_file(self, tmp_path, rng, n=7):
+        """Simulate a writer that died mid-dump: records flushed to disk but
+        the header count never patched (still 0)."""
+        import shutil
+
+        from cppf2_tpu.data.records import RecordWriter
+
+        path = str(tmp_path / "live.rec")
+        crashed = str(tmp_path / "crashed.rec")
+        schema = {"pc": ((4, 3), np.float32), "count": ((), np.int32)}
+        w = RecordWriter(path, schema)
+        recs = []
+        for i in range(n):
+            r = {"pc": rng.normal(size=(4, 3)).astype(np.float32),
+                 "count": np.int32(i)}
+            recs.append(r)
+            w.append(r)
+        w._f.flush()
+        shutil.copyfile(path, crashed)  # crash point: count still 0 on disk
+        w.close()
+        return crashed, recs
+
+    def test_crash_recovery_python(self, tmp_path, rng, monkeypatch):
+        import cppf2_tpu.native as natmod
+
+        from cppf2_tpu.data.records import RecordReader
+
+        crashed, recs = self._crashed_file(tmp_path, rng)
+        monkeypatch.setattr(natmod, "load", lambda: None)
+        rd = RecordReader(crashed)
+        assert rd.backend == "python" and len(rd) == len(recs)
+        np.testing.assert_allclose(rd.gather("pc", [6])[0], recs[6]["pc"])
+        rd.close()
+
+    def test_crash_recovery_native(self, tmp_path, rng, lib):
+        from cppf2_tpu.data.records import RecordReader
+
+        crashed, recs = self._crashed_file(tmp_path, rng)
+        rd = RecordReader(crashed)
+        assert rd.backend == "native" and len(rd) == len(recs)
+        np.testing.assert_array_equal(
+            rd.gather("count", list(range(len(recs)))), np.arange(len(recs)))
+        rd.close()
+
+    def test_periodic_count_patch(self, tmp_path, rng, monkeypatch):
+        """The header count is patched every COUNT_PATCH_EVERY appends, not
+        just at close — bounding what a crash can lose."""
+        import struct
+
+        from cppf2_tpu.data.records import RecordWriter
+
+        monkeypatch.setattr(RecordWriter, "COUNT_PATCH_EVERY", 4)
+        path = str(tmp_path / "patched.rec")
+        w = RecordWriter(path, {"count": ((), np.int32)})
+        for i in range(6):
+            w.append({"count": np.int32(i)})
+        with open(path, "rb") as f:  # no close(): only periodic patches
+            head = f.read(32)
+        assert struct.unpack("<Q", head[8:16])[0] == 4
+        w.close()
+
 
 class TestDumpFrames:
     def test_synthframe_roundtrip(self, tmp_path):
