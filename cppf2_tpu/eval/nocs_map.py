@@ -211,9 +211,12 @@ def compute_degree_cm_map(
         for res in final_results
     ]
     if num_proc > 1:
-        from multiprocessing import Pool
+        # spawn, not fork: forking a process that has initialized JAX can
+        # deadlock in the runtime's internal threads (the workers are pure
+        # numpy, so a fresh interpreter per worker is also the cheap option)
+        from multiprocessing import get_context
 
-        with Pool(num_proc) as pool:
+        with get_context("spawn").Pool(num_proc) as pool:
             results = pool.map(_work_image, args)
     else:
         results = [_work_image(a) for a in args]

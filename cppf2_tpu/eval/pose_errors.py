@@ -28,9 +28,15 @@ def pose_error_degree_cm(
 
     rt1 = np.asarray(rt1, np.float64)
     rt2 = np.asarray(rt2, np.float64)
-    r1 = rt1[:3, :3] / np.cbrt(np.linalg.det(rt1[:3, :3]))
-    r2 = rt2[:3, :3] / np.cbrt(np.linalg.det(rt2[:3, :3]))
     t1, t2 = rt1[:3, 3], rt2[:3, 3]
+    d1 = np.linalg.det(rt1[:3, :3])
+    d2 = np.linalg.det(rt2[:3, :3])
+    if not (np.isfinite(d1) and np.isfinite(d2)) or min(abs(d1), abs(d2)) < 1e-12:
+        # degenerate rotation block (det ~ 0) -> worst-case angle, without
+        # tripping a divide-by-zero RuntimeWarning on the way there
+        return np.array([180.0, np.linalg.norm(t1 - t2) * 100.0])
+    r1 = rt1[:3, :3] / np.cbrt(d1)
+    r2 = rt2[:3, :3] / np.cbrt(d2)
 
     if class_name in _Y_SYM or (class_name in _Y_SYM_OCCLUDED and handle_visibility == 0):
         y = np.array([0.0, 1.0, 0.0])

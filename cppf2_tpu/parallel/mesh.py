@@ -64,8 +64,6 @@ def image_sharded_tuple_vote(
     for multi-slice scaling: DCN carries independent work, ICI carries
     reductions. Returns ((B, 3) best dirs, (B,) counts).
     """
-    from jax.experimental.shard_map import shard_map
-
     def local(d, w, sph):
         # d: (B/n_dcn, V/n_data, 3); w: (B/n_dcn, V/n_data)
         thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
@@ -79,7 +77,7 @@ def image_sharded_tuple_vote(
         )
         return jax.lax.psum(part, "data")
 
-    counts = shard_map(
+    counts = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("dcn", "data", None), P("dcn", "data"), P(None, None)),
@@ -114,8 +112,6 @@ def tuple_sharded_sphere_vote(
     the partial counts are reduced with a psum over ICI — the pattern to scale
     a single instance's vote workload beyond one chip.
     """
-    from jax.experimental.shard_map import shard_map
-
     def local(d, w, sph):
         thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
         cos = jax.lax.dot_general(
@@ -128,7 +124,7 @@ def tuple_sharded_sphere_vote(
         )[0]
         return jax.lax.psum(part, axis)
 
-    counts = shard_map(
+    counts = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(None, None)),
