@@ -97,6 +97,80 @@ class TestConverters:
         assert meta[1] == "1"
 
 
+class TestWild6DConverter:
+    def _frame_files(self, base, frame, rng):
+        import cv2
+
+        (base / "images").mkdir(parents=True, exist_ok=True)
+        img = base / "images" / f"{frame}.jpg"
+        cv2.imwrite(str(img), rng.integers(0, 255, (48, 64, 3), np.uint8))
+        cv2.imwrite(str(base / "images" / f"{frame}-depth.png"),
+                    np.full((48, 64), 800, np.uint16))
+        m = np.zeros((48, 64), np.uint8)
+        m[10:30, 20:50] = 7  # any nonzero instance id -> binary mask
+        cv2.imwrite(str(base / "images" / f"{frame}-mask.png"), m)
+
+    def test_wild6d_schema(self, tmp_path, rng):
+        """Mirror of the PhoCAL schema test for the Wild6D layout
+        (reference: data/wild6d_convert2real275.py:20-108): pkl_annotations +
+        test_list + per-object image dirs in, REAL275 tree out."""
+        import cv2
+
+        from cppf2_tpu.data.converters import convert_wild6d
+
+        root = tmp_path / "wild6d"
+        obj = root / "mug" / "seq1" / "obj1"
+        # frame 4 is in the test list; frame 7 is annotated but NOT listed;
+        # frame 9 is listed + annotated but its depth file is missing
+        self._frame_files(obj, 4, rng)
+        self._frame_files(obj, 7, rng)
+        self._frame_files(obj, 9, rng)
+        os.remove(obj / "images" / "9-depth.png")
+        k = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+        (obj / "metadata").write_text(json.dumps({"K": k.T.flatten().tolist()}))
+        (root / "test_list_mug.txt").write_text(
+            "mug/seq1/obj1/images/4.jpg\nmug/seq1/obj1/images/9.jpg\n"
+        )
+        rot = np.array([[0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]])
+        anns = {"annotations": [
+            # 'cup' class name in annotations maps to mug (reference
+            # wild6d_convert2real275.py:25-27); zero-padded frame ids in the
+            # annotation name match unpadded test-list/image names via int()
+            {"name": "cup/seq1/obj1/0004", "rotation": rot,
+             "translation": np.array([0.1, -0.05, 0.9]),
+             "size": np.array([0.09, 0.08, 0.11])},
+            {"name": "cup/seq1/obj1/0007", "rotation": np.eye(3),
+             "translation": np.zeros(3), "size": np.ones(3)},
+            {"name": "cup/seq1/obj1/0009", "rotation": np.eye(3),
+             "translation": np.zeros(3), "size": np.ones(3)},
+        ]}
+        (root / "pkl_annotations" / "mug").mkdir(parents=True)
+        with open(root / "pkl_annotations" / "mug" / "mug_seq1.pkl", "wb") as f:
+            pickle.dump(anns, f)
+
+        n = convert_wild6d(str(root))
+        assert n == 1  # frame 7 unlisted, frame 9 missing depth
+
+        out = root / "real275_fmt" / "mug" / "seq1" / "obj1"
+        assert os.path.islink(out / "0004_color.png")
+        assert os.path.islink(out / "0004_depth.png")
+        mask = cv2.imread(str(out / "0004_mask.png"), -1)
+        assert set(np.unique(mask)) == {0, 1}  # binarized instance mask
+        assert (mask[15, 30] == 1) and (mask[0, 0] == 0)
+        np.testing.assert_allclose(np.load(out / "camK.npy"), k)
+        meta = (out / "0004_meta.txt").read_text().split()
+        assert meta[1] == "6" and meta[2] == "mug"
+        res = pickle.load(open(out / "0004.pkl", "rb"))
+        assert res["gt_class_ids"] == [6]
+        assert res["gt_handle_visibility"] == [1]
+        rt = np.asarray(res["gt_RTs"][0])
+        np.testing.assert_allclose(rt[:3, :3], rot)
+        np.testing.assert_allclose(rt[:3, 3], [0.1, -0.05, 0.9])
+        np.testing.assert_allclose(res["gt_scales"][0], [0.09, 0.08, 0.11])
+        assert not (out / "0007.pkl").exists()
+        assert not (out / "0009.pkl").exists()
+
+
 class TestNocsData:
     def test_process_data(self, tmp_path):
         from cppf2_tpu.eval.nocs_data import process_data
