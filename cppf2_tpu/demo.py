@@ -4,8 +4,10 @@ Equivalent of the reference's demo.py (demo.py:60-317): per frame, mask ->
 crop -> descriptors -> cloud -> ensemble pose -> overlay render. The
 reference sources masks from a torchvision Mask-RCNN (demo.py:95-115); no
 detector weights ship in this environment, so masks come from files
-(`--masks`) or a simple depth-band segmenter (`--auto-mask`), and any external
-segmenter can be plugged through `mask_provider`.
+(`--masks`) or the in-repo geometric instance proposer (`--auto-mask`:
+depth-discontinuity components after support-plane removal, ranked by the
+category scale prior — `infer/segmenter.py`); any external segmenter can be
+plugged through `mask_provider`.
 
 Usage (reference example_data layout — rgb.png, depth.png (mm), mask.png):
     python -m cppf2_tpu.demo --rgb rgb.png --depth depth.png --mask mask.png \
@@ -32,7 +34,8 @@ DEFAULT_INTRINSICS = np.array(
 
 
 def depth_band_mask(depth_m: np.ndarray, lo=0.2, hi=1.5) -> np.ndarray:
-    """Fallback segmenter: largest connected component in a depth band."""
+    """Last-resort segmenter: largest connected component in a depth band
+    (the structured proposer in `infer/segmenter.py` is the default)."""
     import cv2
 
     band = ((depth_m > lo) & (depth_m < hi)).astype(np.uint8)
@@ -41,6 +44,38 @@ def depth_band_mask(depth_m: np.ndarray, lo=0.2, hi=1.5) -> np.ndarray:
         return band.astype(bool)
     sizes = [(labels == i).sum() for i in range(1, n)]
     return labels == (1 + int(np.argmax(sizes)))
+
+
+def auto_instance_mask(depth_m, intrinsics, category=None, scale_range=None,
+                       mask_index=0, verbose=False):
+    """Segment the frame with the geometric instance proposer
+    (`infer/segmenter.py`: depth edges -> support-plane removal -> connected
+    components -> category scale prior). `mask_index` picks among the ranked
+    proposals — without a semantic detector (the reference uses a COCO
+    Mask R-CNN, demo.py:95-115) two scale-compatible tabletop objects are
+    indistinguishable, so the demo prints the ranked list once and lets the
+    user choose. Falls back to the depth-band heuristic when the scene
+    yields no proposal."""
+    from cppf2_tpu.infer.segmenter import backproject_grid, propose_instances
+
+    if scale_range is None and category is not None:
+        from cppf2_tpu.config import CATEGORIES
+
+        if category in CATEGORIES:
+            scale_range = CATEGORIES[category].scale_range
+    props = propose_instances(depth_m, intrinsics, scale_range)
+    if not props:
+        return depth_band_mask(depth_m)
+    if verbose:
+        pts = backproject_grid(depth_m, intrinsics)
+        for i, m in enumerate(props):
+            p = pts[m]
+            ext = float((p.max(0) - p.min(0)).max())
+            tag = " <- selected" if i == min(mask_index, len(props) - 1) else ""
+            print(f"[demo] proposal {i}: {int(m.sum())} px, "
+                  f"max extent {ext * 100:.1f} cm, "
+                  f"median depth {float(np.median(p[:, 2])):.2f} m{tag}")
+    return props[min(mask_index, len(props) - 1)]
 
 
 def run_frame(
@@ -90,7 +125,15 @@ def main():
                     help="also stitch the overlay sequence into an mp4")
     ap.add_argument("--fps", type=float, default=15.0)
     ap.add_argument("--mask", nargs="*", default=None)
-    ap.add_argument("--auto-mask", action="store_true")
+    ap.add_argument("--auto-mask", action="store_true",
+                    help="segment with the geometric instance proposer "
+                         "(depth edges + support-plane removal + category "
+                         "scale prior) — no mask files needed")
+    ap.add_argument("--mask-index", type=int, default=0,
+                    help="with --auto-mask: which ranked proposal to pose "
+                         "(the first frame prints the ranked list)")
+    ap.add_argument("--intrinsics", default=None,
+                    help=".npy 3x3 camera matrix (default: NOCS camera)")
     ap.add_argument("--category", required=True)
     ap.add_argument("--ckpts", default="ckpts")
     ap.add_argument("--dino-ckpt", default=None)
@@ -152,6 +195,8 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     writer = None
     key = jax.random.key(0)
+    intrinsics = (np.load(args.intrinsics).astype(np.float32)
+                  if args.intrinsics else DEFAULT_INTRINSICS)
     for i, (rgb_p, depth_p) in enumerate(zip(rgb_paths, depth_paths)):
         rgb = cv2.imread(rgb_p)[:, :, ::-1]
         depth = _read_depth(depth_p, args.depth_scale)
@@ -159,12 +204,16 @@ def main():
             mask = cv2.imread(args.mask[i], -1)
             mask = (mask > 0) if mask.ndim == 2 else (mask.sum(-1) > 0)
         elif args.auto_mask:
-            mask = depth_band_mask(depth)
+            mask = auto_instance_mask(
+                depth, intrinsics, category=args.category,
+                mask_index=args.mask_index, verbose=(i == 0),
+            )
         else:
             raise SystemExit("provide --mask files or --auto-mask")
         key, sub = jax.random.split(key)
         overlay, rt, scales = run_frame(
-            rgb, depth, mask, args.category, models, pipe, key=sub,
+            rgb, depth, mask, args.category, models, pipe,
+            intrinsics=intrinsics, key=sub,
             dino_extractor=dino_extractor, run_opt=not args.no_opt,
         )
         out_p = os.path.join(args.out, f"{i:04d}.png")

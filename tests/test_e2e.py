@@ -66,6 +66,90 @@ def synthetic_real275(tmp_path_factory):
     return str(det_dir), str(img_dir), str(root)
 
 
+@pytest.fixture(scope="module")
+def synthetic_real275_multi(tmp_path_factory):
+    """A 3-frame, 2-category REAL275 tree with the production failure modes:
+    a multi-instance frame, a gt object with no detection (missed detection),
+    and a detection with an all-empty mask (Mask R-CNN artifact)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from cppf2_tpu.data.render import splat_render_depth
+    from cppf2_tpu.data.shapes import make_category_mesh, sample_surface
+    from cppf2_tpu.eval.driver import REAL275_INTRINSICS
+
+    root = tmp_path_factory.mktemp("real275_multi")
+    det_dir, img_dir = root / "detections", root / "images"
+    det_dir.mkdir()
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+
+    def render(cat, T, s):
+        v, f = make_category_mesh(cat, rng)
+        pts, nrm = sample_surface((v, f), 150000, rng)
+        R = np.eye(3, dtype=np.float32)
+        depth, gray = splat_render_depth(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(R),
+            jnp.asarray(np.asarray(T, np.float32)), np.float32(s),
+            jnp.asarray(REAL275_INTRINSICS), height=480, width=640,
+        )
+        depth, gray = np.asarray(depth), np.asarray(gray)
+        rt = np.eye(4)
+        rt[:3, :3] = R
+        rt[:3, 3] = T
+        bound = (v.max(0) - v.min(0)) * s
+        return depth, gray, rt, bound
+
+    # frame 0: can + mug, both detected (multi-instance, multi-category)
+    # frame 1: can detected; a gt mug carries NO detection (missed det);
+    #          plus a detected mug whose mask is all-empty (degenerate)
+    # frame 2: mug only
+    frames = [
+        [("can", (-0.12, 0.0, 0.9), 0.15, True), ("mug", (0.12, 0.0, 0.9), 0.2, True)],
+        [("can", (-0.12, 0.0, 0.9), 0.15, True), ("mug", (0.12, 0.0, 0.9), 0.2, False)],
+        [("mug", (0.0, 0.0, 0.85), 0.2, True)],
+    ]
+    cls_ids = {"can": 4, "mug": 6}
+    for i, insts in enumerate(frames):
+        depth = np.zeros((480, 640), np.float32)
+        gray = np.zeros((480, 640), np.float32)
+        gt_ids, gt_rts, gt_scales, det_ids, det_masks = [], [], [], [], []
+        for cat, T, s, detected in insts:
+            d, g, rt, bound = render(cat, T, s)
+            m = d > 0
+            vis = m & ((depth == 0) | (d < depth))  # z-buffer composite
+            depth = np.where(vis, d, depth)
+            gray = np.where(vis, g, gray)
+            gt_ids.append(cls_ids[cat])
+            gt_rts.append(rt)
+            gt_scales.append(bound)
+            if detected:
+                det_ids.append(cls_ids[cat])
+                det_masks.append(vis)
+        if i == 1:  # the empty-mask detection artifact
+            det_ids.append(6)
+            det_masks.append(np.zeros((480, 640), bool))
+        name = f"scene_m_{i:04d}"
+        cv2.imwrite(str(img_dir / f"{name}_color.png"),
+                    (np.stack([gray] * 3, -1) * 255).astype(np.uint8))
+        cv2.imwrite(str(img_dir / f"{name}_depth.png"),
+                    (depth * 1000).astype(np.uint16))
+        res = {
+            "image_path": f"data/real/test/{name}",
+            "gt_class_ids": np.array(gt_ids),
+            "gt_RTs": np.stack(gt_rts),
+            "gt_scales": np.stack(gt_scales).astype(np.float64),
+            "gt_handle_visibility": np.ones(len(gt_ids), np.int64),
+            "pred_class_ids": np.array(det_ids),
+            "pred_masks": np.stack(det_masks, -1),
+            "pred_bboxes": np.zeros((len(det_ids), 4)),
+            "pred_scores": np.ones(len(det_ids)),
+        }
+        with open(det_dir / f"results_{name}.pkl", "wb") as f2:
+            pickle.dump(res, f2)
+    return str(det_dir), str(img_dir)
+
+
 class TestEvalDriver:
     def test_full_loop(self, synthetic_real275, tmp_path):
         from cppf2_tpu.config import PipelineConfig
@@ -86,6 +170,53 @@ class TestEvalDriver:
         assert pose_aps.shape[1] == 4  # 3 thresholds + 360 sentinel
         out_pkls = os.listdir(tmp_path / "out")
         assert any(p.startswith("results_") for p in out_pkls)
+
+    def test_dress_rehearsal_multi_category(self, synthetic_real275_multi,
+                                            tmp_path, capsys):
+        """Production-scale rehearsal of the FULL driver (eval.py:54-412):
+        3 frames x 2 categories, a multi-instance frame, a missed detection,
+        an empty detection mask, and the --debug artifact path."""
+        import glob as globmod
+
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.eval.driver import evaluate_real275
+
+        det_dir, img_dir = synthetic_real275_multi
+        out = str(tmp_path / "out")
+        pipe = PipelineConfig(n_points=1024, num_pairs=2048, opt_steps=5,
+                              angle_tol_deg=3.0)
+        iou_aps, pose_aps = evaluate_real275(
+            det_dir, img_dir, out, ckpt_root=None, pipe=pipe, run_opt=False,
+            debug=True,
+        )
+        # full AP tables over the 6-class synset (+background +mean rows);
+        # classes with no gt in the mini-dataset are legitimately NaN
+        assert iou_aps.shape[0] == 8
+        assert pose_aps.shape == (8, 4, 4)
+        for cls_id in (4, 6):  # can, mug are present in the frame set
+            assert np.isfinite(iou_aps[cls_id]).all()
+        # (pose APs are IoU@0.1-gated — with untrained models they can be
+        # legitimately NaN; accuracy is the synthetic benchmark's job)
+        # every frame writes its result pkl
+        out_pkls = sorted(p for p in os.listdir(out) if p.startswith("results_"))
+        assert len(out_pkls) == 3
+        # the empty-mask detection was rejected: its pred stays identity
+        res1 = pickle.load(open(os.path.join(out, out_pkls[1]), "rb"))
+        assert len(res1["pred_class_ids"]) == 2
+        np.testing.assert_array_equal(res1["pred_RTs"][1], np.eye(4))
+        # and the valid can in the same frame WAS posed
+        assert not np.allclose(res1["pred_RTs"][0], np.eye(4))
+        # frame 1's gt mug has no detection -> mAP must count it (recall
+        # denominator); with one posed can its pkl still carries 2 gts
+        assert len(res1["gt_class_ids"]) == 2
+        # debug artifacts: one overlay PNG per frame with posed instances,
+        # per-instance error lines on stdout
+        pngs = globmod.glob(os.path.join(out, "debug", "*.png"))
+        assert len(pngs) == 3
+        dbg = capsys.readouterr().out
+        assert "rot" in dbg and "deg" in dbg and "cm" in dbg
+        # plots + pkl artifacts from the mAP harness
+        assert os.path.isdir(os.path.join(out, "plots"))
 
     def test_translation_recovered_with_oracle_free_center(self, synthetic_real275):
         # even untrained, the voted center must land inside the object's
