@@ -251,6 +251,46 @@ class TestReleaseLayoutDressRehearsal:
         assert np.isfinite(float(est.loss))
         assert int(est.pick) in (0, 1)
 
+    def test_port_release_ckpts_script(self, tmp_path, rng):
+        """scripts/port_release_ckpts.py: release tree in, packed msgpacks
+        out, and the packed params still reproduce the torch forward."""
+        import os
+        import sys
+
+        import jax.numpy as jnp
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from scripts.port_release_ckpts import main as port_main
+
+        torch.manual_seed(5)
+        tshot = _TorchShot().eval()
+        self._write_release_tree(tmp_path / "rel", "can", "shot", tshot)
+        out = tmp_path / "ported"
+        rc = port_main(["--release-root", str(tmp_path / "rel"),
+                        "--out", str(out), "--categories", "can",
+                        "--skip-check"])
+        assert rc == 0
+        packed = out / "shot" / "can" / "params.msgpack"
+        assert packed.exists()
+
+        from cppf2_tpu.eval.driver import load_category_models
+
+        models = load_category_models(str(out), ["can"],
+                                      infer_dtype="float32")["can"]
+        pts, shot, nrm, _, idx = _inputs(rng, t=8)
+        with torch.no_grad():
+            t_logits, _ = tshot(
+                torch.from_numpy(pts), torch.from_numpy(shot),
+                torch.from_numpy(nrm), torch.from_numpy(idx).long(),
+            )
+        j = models.shot_model.apply(
+            models.shot_params, jnp.asarray(pts), jnp.asarray(shot),
+            jnp.asarray(nrm), jnp.asarray(idx),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j.logits), t_logits.numpy(), atol=2e-4
+        )
+
     def test_sidecar_tuple_size_mismatch_raises(self, tmp_path):
         import pytest
 
