@@ -38,6 +38,13 @@ class CategoryConfig:
     # systematic center bias, measured); the scale-head factor removes it
     # (hidden-handle 5°5cm 0.0 -> 0.5, visible frames unchanged).
     scale_mode: str = "pair"
+    # per-category default for PipelineConfig.yaw_sweep: a post-alignment
+    # yaw micro-sweep about the canonical up axis, rescored with pairs
+    # weighted by their predicted canonical radial excess. For mug the yaw
+    # signal lives almost entirely in the handle (~7% of the cloud) that
+    # the alignment L1 barely feels — the measured round-2/3 residual is
+    # visible-handle 5-7 deg yaw near-misses.
+    yaw_sweep: bool = False
 
     @property
     def tuple_size(self) -> int:
@@ -136,6 +143,27 @@ class PipelineConfig:
                                   # factor (visible-handle 0.70 -> 0.40);
                                   # kept as the tested record of that result.
                                   # "pair" = reference semantics.
+    arbiter: str = "cross"        # ensemble branch selection:
+                                  #  "recon" — each branch's own clipped
+                                  #    reconstruction loss, ties to visual
+                                  #    (reference semantics, eval.py:358-372);
+                                  #  "cross" — each pose scored on BOTH
+                                  #    branches' kept-pair predictions (mean
+                                  #    of the two yardsticks). A branch whose
+                                  #    predictions are self-consistently
+                                  #    wrong (the round-3 laptop failure:
+                                  #    a random-backbone visual branch won
+                                  #    24% of frames at 0.125 accuracy) can
+                                  #    game its own yardstick but not the
+                                  #    other branch's;
+                                  #  "margin" — reference rule, but the
+                                  #    visual branch overrides geo only when
+                                  #    it wins by `arbiter_margin`.
+    arbiter_margin: float = 0.005 # margin for arbiter="margin"
+    yaw_sweep: Optional[bool] = None  # post-alignment feature-weighted yaw
+                                  # micro-sweep (infer/alignment.py::
+                                  # yaw_sweep); None = the category default
+                                  # (CategoryConfig.yaw_sweep)
 
     @property
     def num_kept_pairs(self) -> int:

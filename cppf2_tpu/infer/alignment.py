@@ -77,3 +77,74 @@ def align_pose(
     trans, quat = params
     rot = quat_to_matrix(quat) @ rotation
     return AlignResult(rot, trans, loss_fn(params))
+
+
+def _axis_rotations(deltas: jax.Array, axis: int, dtype) -> jax.Array:
+    """(S, 3, 3) rotations by `deltas` radians about canonical axis `axis`."""
+    c, s = jnp.cos(deltas), jnp.sin(deltas)
+    i, j = [k for k in range(3) if k != axis]
+    rots = jnp.zeros((deltas.shape[0], 3, 3), dtype)
+    rots = rots.at[:, axis, axis].set(1.0)
+    rots = rots.at[:, i, i].set(c)
+    rots = rots.at[:, j, j].set(c)
+    rots = rots.at[:, i, j].set(-s)
+    rots = rots.at[:, j, i].set(s)
+    return rots
+
+
+def yaw_sweep(
+    points: jax.Array,            # (N, 3) padded cloud
+    pair_idx: jax.Array,          # (K, 2) kept pair indices
+    pair_weight: jax.Array,       # (K,) >0 for real kept pairs
+    pred_pairs_scaled: jax.Array, # (K, 2, 3) canonical predictions * metric scale
+    pred_pairs_canon: jax.Array,  # (K, 2, 3) unscaled canonical predictions
+    rotation: jax.Array,          # (3, 3) pose after alignment
+    translation: jax.Array,
+    up_axis_index: int,
+    span_deg: float = 10.0,
+    num: int = 41,
+    min_feature_mass: float = 0.005,
+) -> jax.Array:
+    """Feature-weighted yaw refinement: returns the refined (3, 3) rotation.
+
+    Mug-style categories carry their yaw in a small radial feature (the
+    handle: ~7% of the cloud) that the alignment L1 barely feels — body
+    points dominate the loss, so 5-7deg near-misses survive the optimizer
+    (the measured round-2/3 residual). This sweeps the yaw about the
+    canonical up axis over +-span_deg and rescores with pairs weighted by
+    their *predicted canonical radial excess* (how far outside the body
+    ring the model says the pair reaches): exactly the pairs that are
+    yaw-informative. Frames whose predictions show no radial feature (the
+    handle is occluded, yaw unobservable — the eval protocol forgives them
+    via gt_handle_visibility) keep their incoming yaw: the sweep is gated
+    on the total feature mass, and a tiny |delta| tiebreak keeps flat
+    sweeps at zero."""
+    dt = points.dtype
+    ax = up_axis_index
+    others = [k for k in range(3) if k != ax]
+    valid = (pair_weight > 0).astype(dt)
+
+    # radial excess of each pair beyond the (weighted-median) body radius,
+    # from the *predictions* — pose-independent, so no chicken-and-egg
+    r = jnp.linalg.norm(pred_pairs_canon[..., others], axis=-1)   # (K, 2)
+    r_pair = jnp.max(r, axis=-1)                                   # (K,)
+    r_med = jnp.nanmedian(jnp.where(valid > 0, r_pair, jnp.nan))
+    w_feat = jnp.maximum(r_pair - r_med, 0.0) * valid
+    mass = jnp.sum(w_feat) / jnp.maximum(jnp.sum(valid), 1.0)
+    w = w_feat[:, None, None]
+
+    deltas = jnp.linspace(
+        -span_deg, span_deg, num, dtype=dt) * (jnp.pi / 180.0)
+    rots = _axis_rotations(deltas, ax, dt)                         # (S, 3, 3)
+    canon = (points[pair_idx] - translation) @ rotation            # (K, 2, 3)
+    # canon under an extra yaw delta: (p - T) @ (R @ R_ax) = canon @ R_ax
+    canon_s = jnp.einsum("ktc,scd->sktd", canon, rots)
+    loss = jnp.sum(
+        jnp.abs(canon_s - pred_pairs_scaled[None]) * w[None], axis=(1, 2, 3)
+    ) / jnp.maximum(jnp.sum(w) * 6.0, 1e-6)
+    # |delta| tiebreak: a flat (featureless) sweep stays at zero yaw
+    loss = loss + 3e-5 * jnp.abs(deltas) * (180.0 / jnp.pi)
+    best = jnp.argmin(loss)
+    delta = jnp.where(mass > min_feature_mass, deltas[best], 0.0)
+    one = _axis_rotations(delta[None], ax, dt)[0]
+    return rotation @ one

@@ -209,24 +209,91 @@ def _pose_from_preds(
         )
         r_est, t_est = ar.rotation, ar.translation
 
+    # --- feature-weighted yaw micro-sweep (no reference counterpart: the
+    # geometry-side answer to the visible-handle yaw near-misses the
+    # reference papers over with its pretrained visual branch)
+    do_sweep = cat.yaw_sweep if pipe.yaw_sweep is None else pipe.yaw_sweep
+    if do_sweep and not cat.up_sym:
+        from cppf2_tpu.infer.alignment import yaw_sweep
+
+        r_est = yaw_sweep(
+            points, kept_pairs, kept_w, pred_pairs_scaled[ki], pred_pairs[ki],
+            r_est, t_est, cat.up_axis_index,
+        )
+
     return _BranchPose(
         r_est, t_est, pred_scale, kept_pairs, kept_w > 0, pred_pairs[ki]
+    )
+
+
+def _recon_loss_rt(
+    points, rotation, translation, yard: _BranchPose, scale_norm, up_sym: bool
+) -> jax.Array:
+    """Clipped canonical reconstruction loss of an (R, T) hypothesis measured
+    against one branch's kept pairs + canonical predictions (the 'yardstick');
+    eval.py:358-363 with the pose and the yardstick decoupled so poses can be
+    cross-scored for ensemble arbitration."""
+    canon = (points - translation) @ rotation / jnp.maximum(scale_norm, _EPS)
+    diff = jnp.abs(canon[yard.kept_pairs] - yard.pred_pairs_kept)
+    if up_sym:
+        diff = diff[..., 1:2]
+    diff = jnp.clip(diff, 0.0, 0.1)
+    wmask = yard.kept_mask.astype(points.dtype)[:, None, None]
+    return jnp.sum(diff * wmask) / jnp.maximum(
+        jnp.sum(wmask) * 2 * diff.shape[-1], 1.0
     )
 
 
 def _recon_loss(
     points, pose: _BranchPose, scale_norm, up_sym: bool
 ) -> jax.Array:
-    """Clipped canonical reconstruction loss (eval.py:358-363)."""
-    canon = (points - pose.translation) @ pose.rotation / jnp.maximum(scale_norm, _EPS)
-    diff = jnp.abs(canon[pose.kept_pairs] - pose.pred_pairs_kept)
-    if up_sym:
-        diff = diff[..., 1:2]
-    diff = jnp.clip(diff, 0.0, 0.1)
-    wmask = pose.kept_mask.astype(points.dtype)[:, None, None]
-    return jnp.sum(diff * wmask) / jnp.maximum(
-        jnp.sum(wmask) * 2 * diff.shape[-1], 1.0
+    """Clipped canonical reconstruction loss (eval.py:358-363): the pose
+    measured against its own branch's predictions."""
+    return _recon_loss_rt(
+        points, pose.rotation, pose.translation, pose, scale_norm, up_sym
     )
+
+
+def _arbitrate(points, poses: _BranchPose, scale_norm, up_sym: bool,
+               arbiter: str, margin: float):
+    """Pick the winning branch among the vmapped poses.
+
+    Returns (pick, reported_loss). `arbiter`:
+      * "recon"  — argmin of each branch's own loss, ties to the visual
+        branch (index 0), the reference's rule (eval.py:358-372);
+      * "cross"  — argmin of the mean loss over BOTH branches' yardsticks:
+        L[i, j] = loss of pose i on branch j's kept pairs/predictions. A
+        branch with self-consistently-wrong predictions scores well on its
+        own yardstick but not on the other's; a genuinely better pose wins
+        on both. Reduces to "recon" when one branch runs;
+      * "margin" — reference rule, but the visual branch (index 0) only
+        overrides geo when it wins by `margin` (the conservative gate).
+    The reported loss is the picked candidate's score under the SAME rule,
+    so restart selection optimizes one consistent objective.
+    """
+    n_branch = poses.rotation.shape[0]
+    own = jax.vmap(
+        functools.partial(_recon_loss, up_sym=up_sym), in_axes=(None, 0, None)
+    )(points, poses, scale_norm)
+    if arbiter == "cross" and n_branch > 1:
+        # L[i, j]: pose i measured on yardstick j
+        def pose_row(rot, tr):
+            return jax.vmap(
+                lambda yard: _recon_loss_rt(
+                    points, rot, tr, yard, scale_norm, up_sym
+                )
+            )(poses)
+
+        lmat = jax.vmap(pose_row)(poses.rotation, poses.translation)
+        score = jnp.mean(lmat, axis=1)
+        pick = jnp.argmin(score)
+        return pick, score[pick]
+    if arbiter == "margin" and n_branch > 1:
+        # visual (0) must beat geo (1) by `margin` to override it
+        pick = jnp.where(own[0] <= own[1] - margin, 0, 1)
+        return pick, own[pick]
+    pick = jnp.argmin(own)  # "recon": ties go to visual, like the
+    return pick, own[pick]  # reference's `<=` arbitration
 
 
 def estimate_pose_branch(
@@ -375,12 +442,10 @@ def estimate_pose_ensemble(
 
     scale = poses.scale[0]
     scale_norm = jnp.linalg.norm(scale)
-    losses = jax.vmap(
-        functools.partial(_recon_loss, up_sym=cat.up_sym), in_axes=(None, 0, None)
-    )(points, poses, scale_norm)
-
-    # ties go to the visual branch, like the reference's `<=` arbitration
-    pick = jnp.argmin(losses)
+    pick, loss = _arbitrate(
+        points, poses, scale_norm, cat.up_sym, pipe.arbiter,
+        pipe.arbiter_margin,
+    )
     # report the branch id in the fixed [visual=0, geo=1] convention even
     # when only the geo branch ran
     branch_id = pick if use_visual else pick + 1
@@ -389,6 +454,6 @@ def estimate_pose_ensemble(
         poses.translation[pick],
         scale,
         scale_norm,
-        losses[pick],
+        loss,
         branch_id.astype(jnp.int32),
     )

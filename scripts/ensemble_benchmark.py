@@ -204,17 +204,33 @@ def main():
                     help="canonical->metric rescale override "
                          "(PipelineConfig.scale_mode); default None = each "
                          "category's own default ('head' for mug)")
+    ap.add_argument("--arbiter", default=None,
+                    choices=["recon", "cross", "margin"],
+                    help="ensemble branch-selection rule "
+                         "(PipelineConfig.arbiter); default = config default")
+    ap.add_argument("--arbiter-margin", type=float, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (accuracy runs bit-for-bit "
+                         "the same pipeline; useful when the TPU relay is "
+                         "down — expect ~20-60x slower frames)")
     ap.add_argument("--out", default="benchmarks/synthetic_r3_ensemble")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from synthetic_benchmark import train_one
     from cppf2_tpu.models.dinov2 import DinoFeatureExtractor
 
     extractor = DinoFeatureExtractor(stride=args.stride)
     extractor.init_random(hw=(256, 256), seed=args.seed)
+    over = {k: v for k, v in (
+        ("arbiter", args.arbiter), ("arbiter_margin", args.arbiter_margin),
+    ) if v is not None}
     pipe = PipelineConfig(n_points=args.n_points, num_pairs=args.num_pairs,
-                          restarts=args.restarts, scale_mode=args.scale_mode)
+                          restarts=args.restarts, scale_mode=args.scale_mode,
+                          **over)
     os.makedirs(args.out, exist_ok=True)
     all_results, summary = [], {}
     for cat_name in args.categories:

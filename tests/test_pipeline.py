@@ -135,6 +135,94 @@ class TestOraclePose:
         t_err2 = np.linalg.norm(np.asarray(est2.translation) - T) * 100
         assert t_err2 < 1.5, t_err2
 
+    @pytest.mark.parametrize("arbiter", ["recon", "cross", "margin"])
+    def test_ensemble_prefers_oracle_branch_all_arbiters(self, rng, arbiter):
+        # every arbitration rule must route around a diffuse-garbage branch
+        import dataclasses
+
+        cat = CATEGORIES["laptop"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        oracle = _oracle_apply(pc_canon, bound)
+
+        def garbage_apply(params, points, tuple_idx):
+            k = jax.random.key(42)
+            logits = jax.random.normal(k, (tuple_idx.shape[0], 6, 32)) * 3.0
+            scales = jnp.broadcast_to(jnp.asarray(bound), (tuple_idx.shape[0], 3))
+            return TuplePredictions(logits, scales)
+
+        pipe = dataclasses.replace(PIPE, arbiter=arbiter)
+        n = len(pc)
+        for visual, geo in ((garbage_apply, oracle), (oracle, garbage_apply)):
+            est = estimate_pose_ensemble(
+                visual, None, geo, None,
+                jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+                jax.random.key(4), cat, pipe, run_opt=False,
+            )
+            t_err = np.linalg.norm(np.asarray(est.translation) - T) * 100
+            assert t_err < 1.5, (arbiter, t_err)
+
+    def test_margin_gate_blocks_marginal_visual_win(self, rng):
+        # two oracle-quality branches whose losses differ by less than the
+        # margin: "margin" must keep geo, "recon" must take the visual win
+        import dataclasses
+
+        from cppf2_tpu.infer.pipeline import _BranchPose, _arbitrate
+
+        cat = CATEGORIES["laptop"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        points = jnp.asarray(pc)
+        k = 64
+        pairs = jnp.asarray(rng.integers(0, len(pc), size=(k, 2)), jnp.int32)
+        canon = jnp.asarray(pc_canon)
+
+        def pose_with_noise(eps, key):
+            preds = canon[pairs] + eps * jax.random.normal(key, (k, 2, 3))
+            return _BranchPose(
+                jnp.asarray(R), jnp.asarray(T), jnp.asarray(bound),
+                pairs, jnp.ones(k, bool), preds,
+            )
+
+        # visual marginally better than geo on its own yardstick
+        poses = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            pose_with_noise(0.010, jax.random.key(0)),
+            pose_with_noise(0.012, jax.random.key(1)),
+        )
+        sn = jnp.linalg.norm(jnp.asarray(bound))
+        pick_recon, _ = _arbitrate(points, poses, sn, False, "recon", 0.0)
+        pick_margin, _ = _arbitrate(points, poses, sn, False, "margin", 0.05)
+        assert int(pick_recon) == 0   # reference rule: marginal visual win
+        assert int(pick_margin) == 1  # gated: the margin blocks it
+
+    def test_cross_reports_mean_yardstick_loss(self, rng):
+        from cppf2_tpu.infer.pipeline import (
+            _BranchPose,
+            _arbitrate,
+            _recon_loss_rt,
+        )
+
+        cat = CATEGORIES["laptop"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        points = jnp.asarray(pc)
+        k = 64
+        pairs = jnp.asarray(rng.integers(0, len(pc), size=(k, 2)), jnp.int32)
+        canon = jnp.asarray(pc_canon)
+        p0 = _BranchPose(jnp.asarray(R), jnp.asarray(T), jnp.asarray(bound),
+                         pairs, jnp.ones(k, bool), canon[pairs])
+        # second branch: same pose, noisier predictions
+        p1 = p0._replace(
+            pred_pairs_kept=canon[pairs]
+            + 0.03 * jax.random.normal(jax.random.key(2), (k, 2, 3)))
+        poses = jax.tree.map(lambda *xs: jnp.stack(xs), p0, p1)
+        sn = jnp.linalg.norm(jnp.asarray(bound))
+        pick, loss = _arbitrate(points, poses, sn, False, "cross", 0.0)
+        assert int(pick) == 0  # exact predictions win both yardsticks
+        want = float(jnp.mean(jnp.stack([
+            _recon_loss_rt(points, p0.rotation, p0.translation, y, sn, False)
+            for y in (p0, p1)
+        ])))
+        np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
     def test_padded_cloud(self, rng):
         cat = CATEGORIES["bowl"]
         pc, pc_canon, R, T, s, bound = _make_scene(rng, cat, n=400)
@@ -152,6 +240,103 @@ class TestOraclePose:
             tuple_idx, jax.random.key(6), cat, PIPE, sphere, run_opt=False,
         )
         assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
+
+
+class TestYawSweep:
+    """`infer/alignment.py::yaw_sweep`: feature-weighted yaw refinement."""
+
+    def _mug_scene(self, rng, n=512, yaw_off_deg=6.0):
+        # cylinder body + a small radial handle cluster (the yaw feature),
+        # posed with a known yaw error about the canonical up axis (y)
+        from scipy.stats import special_ortho_group
+
+        n_handle = n // 12
+        theta = rng.uniform(0, 2 * np.pi, n - n_handle)
+        y = rng.uniform(-0.5, 0.5, n - n_handle)
+        r_body = 0.30 + rng.normal(0, 0.01, n - n_handle)
+        body = np.stack(
+            [r_body * np.cos(theta), y, r_body * np.sin(theta)], axis=1
+        )
+        handle = np.stack([
+            0.46 + rng.normal(0, 0.015, n_handle),
+            rng.normal(0, 0.08, n_handle),
+            rng.normal(0, 0.015, n_handle),
+        ], axis=1)
+        pc_canon = np.concatenate([body, handle]).astype(np.float32)
+        R = special_ortho_group.rvs(3, random_state=rng).astype(np.float32)
+        T = np.array([0.15, -0.1, 0.8], np.float32)
+        s = 0.2
+        pc = (pc_canon * s) @ R.T + T
+        d = np.radians(yaw_off_deg)
+        ryaw = np.array([
+            [np.cos(d), 0, -np.sin(d)],
+            [0, 1, 0],
+            [np.sin(d), 0, np.cos(d)],
+        ], np.float32)
+        return pc.astype(np.float32), pc_canon, R, R @ ryaw, T, s
+
+    def test_recovers_handle_yaw(self, rng):
+        from cppf2_tpu.infer.alignment import yaw_sweep
+
+        pc, pc_canon, R, R_off, T, s = self._mug_scene(rng)
+        k = 1024
+        pairs = jnp.asarray(rng.integers(0, len(pc), size=(k, 2)), jnp.int32)
+        canon = jnp.asarray(pc_canon)
+        refined = yaw_sweep(
+            jnp.asarray(pc), pairs, jnp.ones(k), canon[pairs] * s,
+            canon[pairs], jnp.asarray(R_off), jnp.asarray(T),
+            up_axis_index=1,
+        )
+        before = _rot_err_deg(R_off, R)
+        after = _rot_err_deg(np.asarray(refined), R)
+        assert before > 5.0, before
+        assert after < 1.0, (before, after)
+
+    def test_featureless_cloud_keeps_yaw(self, rng):
+        # all pairs at the same canonical radius -> no radial excess mass
+        # -> the sweep is gated off and the incoming rotation is returned
+        from scipy.stats import special_ortho_group
+
+        from cppf2_tpu.infer.alignment import yaw_sweep
+
+        n = 512
+        theta = rng.uniform(0, 2 * np.pi, n)
+        y = rng.uniform(-0.5, 0.5, n)
+        pc_canon = np.stack(
+            [0.35 * np.cos(theta), y, 0.35 * np.sin(theta)], axis=1
+        ).astype(np.float32)
+        R = special_ortho_group.rvs(3, random_state=rng).astype(np.float32)
+        T = np.array([0.1, 0.0, 0.7], np.float32)
+        s = 0.2
+        pc = ((pc_canon * s) @ R.T + T).astype(np.float32)
+        k = 512
+        pairs = jnp.asarray(rng.integers(0, n, size=(k, 2)), jnp.int32)
+        canon = jnp.asarray(pc_canon)
+        refined = yaw_sweep(
+            jnp.asarray(pc), pairs, jnp.ones(k), canon[pairs] * s,
+            canon[pairs], jnp.asarray(R), jnp.asarray(T), up_axis_index=1,
+        )
+        np.testing.assert_allclose(np.asarray(refined), R, atol=1e-6)
+
+    def test_pipeline_wiring_keeps_oracle_pose(self, rng):
+        # pipe.yaw_sweep=True through the full branch graph must not
+        # degrade an already-correct pose
+        import dataclasses as dc
+
+        cat = CATEGORIES["mug"]
+        pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
+        apply_fn = _oracle_apply(pc_canon, bound)
+        n = len(pc)
+        sphere = jnp.asarray(fibonacci_sphere(PIPE.sphere_samples))
+        u = jax.random.uniform(jax.random.key(11), (PIPE.num_pairs, 5))
+        tuple_idx = jnp.floor(u * n).astype(jnp.int32)
+        pipe = dc.replace(PIPE, yaw_sweep=True)
+        est = estimate_pose_branch(
+            apply_fn, None, jnp.asarray(pc), jnp.ones(n, bool), jnp.int32(n),
+            tuple_idx, jax.random.key(12), cat, pipe, sphere, run_opt=True,
+        )
+        assert np.linalg.norm(np.asarray(est.translation) - T) * 100 < 1.5
+        assert _rot_err_deg(np.asarray(est.rotation), R) < 10.0
 
 
 class TestRestarts:
