@@ -36,7 +36,11 @@ from cppf2_tpu.infer.frontend import (
 )
 from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
 from cppf2_tpu.models import DinoBranch, ShotBranch
-from cppf2_tpu.models.dinov2 import bbox_crop_descriptors
+from cppf2_tpu.models.dinov2 import (
+    bbox_crop_descriptors,
+    bbox_crop_token_grid,
+    sample_crop_descriptors,
+)
 
 # REAL275 evaluation intrinsics (eval.py:82)
 REAL275_INTRINSICS = np.array(
@@ -339,18 +343,81 @@ class PendingFrameGroup(NamedTuple):
     idxs: tuple               # original instance index per non-padded row
 
 
+# frame-wide ViT stage programs, shared across categories (the ViT is
+# category-independent) — keyed on the extractor's behavior + the pack's
+# chunk-size signature
+_VIT_STAGE_CACHE: dict = {}
+
+
+def _vit_stage_fn(extractor, batches: tuple):
+    """Build (and cache) the frame-wide batched ViT program.
+
+    ALL of a frame's instance crops — across category and crop-tier groups —
+    run as ONE vmapped `bbox_crop_token_grid` forward (the heavy half of the
+    reference's per-instance crop+DINO stage, eval.py:179-205), then split
+    in-graph into the per-group (grids, txys) slices the pose programs
+    consume. Splitting inside the jit keeps the slices fused — device-side
+    post-hoc slicing would cost one relay dispatch (~5 ms floor) per group.
+    Pulling the ViT out of the pose programs also removes the ViT-L graph
+    from every per-category compile."""
+    key = (extractor.cfg, extractor.stride, extractor.out_size, batches)
+    if key in _VIT_STAGE_CACHE:
+        return _VIT_STAGE_CACHE[key]
+    vit = extractor.model
+    stride = extractor.stride
+    out_size = extractor.out_size
+
+    @jax.jit
+    def fn(vit_params, rgb_u8, masks):
+        rgb = rgb_u8.astype(jnp.float32) / 255.0
+
+        def one(mask):
+            return bbox_crop_token_grid(
+                vit, vit_params, rgb, mask, out_size=out_size, stride=stride,
+            )
+
+        grids, txys = jax.vmap(one)(masks)
+        out, off = [], 0
+        for b in batches:
+            out.append((grids[off:off + b], txys[off:off + b]))
+            off += b
+        return tuple(out)
+
+    _VIT_STAGE_CACHE[key] = fn
+    return fn
+
+
+def _pack_vit_chunks(batches, cap):
+    """First-fit-decreasing packing of per-chunk ViT batch sizes into packs
+    of total <= cap. Returns [(chunk_ids, sizes)] — typically ONE pack (one
+    ViT dispatch) for a whole REAL275 frame."""
+    order = sorted(range(len(batches)), key=lambda c: -batches[c])
+    packs = []  # [ids, sizes, total]
+    for ci in order:
+        b = batches[ci]
+        for p in packs:
+            if p[2] + b <= cap:
+                p[0].append(ci)
+                p[1].append(b)
+                p[2] += b
+                break
+        else:
+            packs.append([[ci], [b], b])
+    return [(ids, tuple(sizes)) for ids, sizes, _ in packs]
+
+
 def _frame_group_fn(models: CategoryModels, cat, pipe: PipelineConfig,
                     run_opt: bool, use_visual: bool, use_geo: bool,
                     crop: int, stride: int, extractor, batch: int):
-    """Build (and cache) the vmapped per-group program.
+    """Build (and cache) the vmapped per-group pose program.
 
-    The whole group — dense preprocess, fused in-graph ViT descriptors
-    (`bbox_crop_descriptors`, the jit analog of the reference's
-    eval.py:179-205 crop+DINO stage, in the SAME bbox-rescaled-crop
-    convention the branch checkpoints were trained on), and the two-branch
-    ensemble — compiles as one program; all param trees enter as jit
-    ARGUMENTS (closure pytrees inline into the serialized module and blow
-    the relay's compile-size cap).
+    The group — dense preprocess, descriptor sampling from the precomputed
+    frame-wide ViT token grids (`sample_crop_descriptors`, same
+    bbox-rescaled-crop convention the branch checkpoints were trained on),
+    and the two-branch ensemble — compiles as one program; all param trees
+    enter as jit ARGUMENTS (closure pytrees inline into the serialized
+    module and blow the relay's compile-size cap). The ViT forward itself
+    lives in `_vit_stage_fn`, batched once per frame.
     """
     if models._pose_fns is None:
         models._pose_fns = {}
@@ -358,29 +425,30 @@ def _frame_group_fn(models: CategoryModels, cat, pipe: PipelineConfig,
     # dataclass), not id(): a gc'd extractor's address can be reused and
     # silently hit a program that closed over the old model config
     ext_key = (None if extractor is None
-               else (extractor.cfg, extractor.stride, extractor.interp_impl))
+               else (extractor.cfg, extractor.stride, extractor.out_size,
+                     extractor.interp_impl))
     k = ("frame", pipe, run_opt, use_visual, use_geo, crop, stride,
          ext_key, batch)
     if k in models._pose_fns:
         return models._pose_fns[k]
     dino_m, shot_m = models.dino_model, models.shot_model
-    vit = extractor.model if extractor is not None else None
+    visual = extractor is not None
+    out_size = extractor.out_size if visual else 0
+    interp_impl = extractor.interp_impl if visual else None
 
     @jax.jit
-    def fn(dino_params, shot_params, vit_params, rgb_u8, depth, masks,
+    def fn(dino_params, shot_params, grids, txys, depth, masks,
            intrinsics, keys):
-        rgb = rgb_u8.astype(jnp.float32) / 255.0
-
-        def one(mask, key):
+        def one(mask, key, grid, txy):
             k1, k2 = jax.random.split(key)
             fi = preprocess_frame(
                 depth, mask, intrinsics, k1, res=cat.res,
                 n_max=pipe.n_points, shot_k=pipe.neighbor_k, crop=crop,
             )
-            if extractor is not None:
-                desc = bbox_crop_descriptors(
-                    vit, vit_params, rgb, mask, fi.pixel_yx,
-                    stride=stride, interp_impl=extractor.interp_impl,
+            if visual:
+                desc = sample_crop_descriptors(
+                    grid, fi.pixel_yx, txy, out_size=out_size,
+                    stride=stride, interp_impl=interp_impl,
                 )
             else:
                 desc = jnp.zeros((pipe.n_points, 1024), jnp.float32)
@@ -399,7 +467,8 @@ def _frame_group_fn(models: CategoryModels, cat, pipe: PipelineConfig,
             return (fi.count, _cloud_extent(fi.pc, fi.valid), est.rotation,
                     est.translation, est.scale, est.scale_norm, est.loss)
 
-        return jax.vmap(one)(masks, keys)
+        in_axes = (0, 0, 0, 0) if visual else (0, 0, None, None)
+        return jax.vmap(one, in_axes=in_axes)(masks, keys, grids, txys)
 
     models._pose_fns[k] = fn
     return fn
@@ -448,11 +517,7 @@ def dispatch_frame(
 
     pendings = []
     if groups:
-        # rgb feeds only the visual frontend: geo-only frames skip the
-        # ~0.9 MB upload (~0.2 s at relay bandwidth) and pass a 1x1 dummy
         visual_on = dino_extractor is not None and use_visual
-        rgb_j = (jnp.asarray(rgb) if visual_on
-                 else jnp.zeros((1, 1, 3), jnp.uint8))
         depth_j = jnp.asarray(depth_m.astype(np.float32))
         k_j = jnp.asarray(intrinsics.astype(np.float32))
         # .stride is required, not getattr'd with a default: a duck-typed
@@ -460,30 +525,47 @@ def dispatch_frame(
         # a descriptor resolution its checkpoint wasn't trained on
         stride = dino_extractor.stride if visual_on else 0
 
+    # chunk oversized groups into max-bucket pieces so the compile cache
+    # stays bounded at O(categories x tiers x len(buckets)) programs
+    # regardless of how many same-tier detections a frame carries
+    chunks = []  # (cat_name, crop, idxs, (batch, H, W) masks, batch)
     for (cat_name, crop), members in groups.items():
-        cat = get_category(cat_name)
-        # chunk oversized groups into max-bucket pieces so the compile cache
-        # stays bounded at O(categories x tiers x len(buckets)) programs
-        # regardless of how many same-tier detections a frame carries
         for lo in range(0, len(members), buckets[-1]):
             chunk = members[lo:lo + buckets[-1]]
             batch = next(b for b in buckets if b >= len(chunk))
             idxs = tuple(i for i, _ in chunk)
             masks = [m for _, m in chunk]
             masks += [masks[-1]] * (batch - len(masks))
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, batch)
-            fn = _frame_group_fn(
-                models[cat_name], cat, pipe, run_opt, use_visual, use_geo,
-                crop, stride, dino_extractor if use_visual else None, batch,
-            )
-            m = models[cat_name]
-            vit_params = (dino_extractor.params
-                          if (dino_extractor is not None and use_visual)
-                          else 0)
-            dev = fn(m.dino_params, m.shot_params, vit_params, rgb_j,
-                     depth_j, jnp.asarray(np.stack(masks)), k_j, keys)
-            pendings.append(PendingFrameGroup(dev, cat.res, idxs))
+            chunks.append((cat_name, crop, idxs, np.stack(masks), batch))
+
+    # frame-wide ViT stage: every chunk's crops batch through as few ViT
+    # dispatches as fit the bucket cap (typically ONE per frame), split
+    # in-graph into per-chunk (grids, txys). rgb feeds only this stage:
+    # geo-only frames skip the ~0.9 MB upload (~0.2 s at relay bandwidth).
+    grids_by_chunk: Dict[int, tuple] = {}
+    if chunks and visual_on:
+        rgb_j = jnp.asarray(rgb)
+        for ids, sizes in _pack_vit_chunks(
+                [c[4] for c in chunks], buckets[-1]):
+            vfn = _vit_stage_fn(dino_extractor, sizes)
+            mstack = np.concatenate([chunks[ci][3] for ci in ids])
+            parts = vfn(dino_extractor.params, rgb_j, jnp.asarray(mstack))
+            for ci, part in zip(ids, parts):
+                grids_by_chunk[ci] = part
+
+    for ci, (cat_name, crop, idxs, masks, batch) in enumerate(chunks):
+        cat = get_category(cat_name)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch)
+        fn = _frame_group_fn(
+            models[cat_name], cat, pipe, run_opt, use_visual, use_geo,
+            crop, stride, dino_extractor if visual_on else None, batch,
+        )
+        m = models[cat_name]
+        grids, txys = grids_by_chunk.get(ci, (jnp.zeros(1), jnp.zeros(1)))
+        dev = fn(m.dino_params, m.shot_params, grids, txys,
+                 depth_j, jnp.asarray(masks), k_j, keys)
+        pendings.append(PendingFrameGroup(dev, cat.res, idxs))
     pendings.extend(singles)
     return pendings
 

@@ -492,7 +492,7 @@ class DinoFeatureExtractor:
     forward, bilinear-sample patch tokens at keypoints, L2-normalize."""
 
     def __init__(self, params=None, cfg: ViTConfig = None, stride: int = 4,
-                 interp_impl: str = "gather"):
+                 interp_impl: str = "gather", out_size: int = 256):
         if cfg is None:
             # production default: the fused Pallas kernel on TPU (50 ms/crop
             # vs 119 for the HBM path at ViT-L/stride-4); interpret-mode
@@ -505,6 +505,7 @@ class DinoFeatureExtractor:
         self.cfg = cfg
         self.stride = stride
         self.interp_impl = interp_impl
+        self.out_size = out_size  # bbox-square crop resolution (driver path)
         self.model = DinoViT(cfg)
         self.params = self._cast(params)
         self._jit = jax.jit(self._run, static_argnames=("hw",))
@@ -638,9 +639,24 @@ def bbox_crop_descriptors(
     tests/test_dinov2.py::TestBboxCropDescriptors), so a whole frame group
     still batches as ONE vmapped XLA program.
     """
-    h, w = rgb.shape[:2]
-    img = rgb * mask[..., None].astype(rgb.dtype)
-    # device-side mask bbox (left, top, right, bottom), frontend.mask_bbox
+    grid, txys = bbox_crop_token_grid(
+        model, params, rgb, mask, out_size=out_size, stride=stride,
+        padding=padding,
+    )
+    return sample_crop_descriptors(
+        grid, pixel_yx, txys, out_size=out_size, stride=stride,
+        interp_impl=interp_impl,
+    )
+
+
+def bbox_crop_transform(
+    mask: jax.Array, out_size: int, padding: float = 0.0
+) -> jax.Array:
+    """Device-side mask bbox -> square-crop transform (tx, ty, s): crop pixel
+    (x, y) samples the image at (s*x + tx, s*y + ty). The bbox/centering
+    convention is frontend.resize_crop_transform (reference dataset.py:
+    322-337)."""
+    h, w = mask.shape
     xs = mask.any(axis=0)
     ys = mask.any(axis=1)
     ix = jnp.arange(w, dtype=jnp.int32)
@@ -649,16 +665,35 @@ def bbox_crop_descriptors(
     right = jnp.max(jnp.where(xs, ix, -1)) + 1
     top = jnp.min(jnp.where(ys, iy, h))
     bottom = jnp.max(jnp.where(ys, iy, -1)) + 1
-    # frontend.resize_crop_transform: crop pixel (x, y) samples image at
-    # (s*x + cx - s*out/2, s*y + cy - s*out/2)
     size = jnp.maximum(right - left, bottom - top).astype(jnp.float32)
     size = size * (1.0 + padding)
     cx = (right + left).astype(jnp.float32) / 2.0
     cy = (bottom + top).astype(jnp.float32) / 2.0
     s = size / out_size
-    i = jnp.arange(out_size, dtype=jnp.float32)
     tx = cx - s * (out_size / 2.0)
     ty = cy - s * (out_size / 2.0)
+    return jnp.stack([tx, ty, s])
+
+
+def bbox_crop_token_grid(
+    model: "DinoViT",
+    params,
+    rgb: jax.Array,        # (H, W, 3) float in [0,1], full frame
+    mask: jax.Array,       # (H, W) bool instance mask
+    out_size: int = 256,
+    stride: int = 8,
+    padding: float = 0.0,
+):
+    """The heavy half of `bbox_crop_descriptors`: masked bbox-square warp +
+    ViT forward. Returns (token grid (out/stride, out/stride, D), (tx, ty, s)).
+    Split out so a frame's instances — across category/tier groups — can batch
+    through ONE vmapped ViT program, with the cheap per-cloud sampling
+    (`sample_crop_descriptors`) staying in the per-category pose program."""
+    h, w = rgb.shape[:2]
+    img = rgb * mask[..., None].astype(rgb.dtype)
+    txys = bbox_crop_transform(mask, out_size, padding)
+    tx, ty, s = txys[0], txys[1], txys[2]
+    i = jnp.arange(out_size, dtype=jnp.float32)
     ry = _hat_sample_matrix(s * i + ty, h)          # (out, H)
     rx = _hat_sample_matrix(s * i + tx, w)          # (out, W)
     hi = jax.lax.Precision.HIGHEST
@@ -666,9 +701,21 @@ def bbox_crop_descriptors(
     crop = jnp.einsum("pw,owc->opc", rx, crop, precision=hi)
     ph = pw = out_size // stride
     resized = resize_bilinear_matmul(crop, ph * 14, pw * 14)
-    grid = model.apply(params, resized)
+    return model.apply(params, resized), txys
+
+
+def sample_crop_descriptors(
+    grid: jax.Array,        # (out/stride, out/stride, D) token grid
+    pixel_yx: jax.Array,    # (n, 2) int image pixels per cloud point
+    txys: jax.Array,        # (3,) crop transform from bbox_crop_token_grid
+    out_size: int = 256,
+    stride: int = 8,
+    interp_impl: str = "gather",
+) -> jax.Array:
+    """The cheap half of `bbox_crop_descriptors`: bilinear token sampling of a
+    precomputed crop grid at cloud pixels (reference dataset.py:40-59)."""
     kp = pixel_yx[:, ::-1].astype(jnp.float32)      # (n, 2) as (x, y)
-    kp_local = (kp - jnp.stack([tx, ty])[None, :]) / s
+    kp_local = (kp - txys[None, :2]) / txys[2]
     return interpolate_features(grid, kp_local, (out_size, out_size), stride,
                                 impl=interp_impl)
 

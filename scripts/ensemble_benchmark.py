@@ -69,20 +69,27 @@ def load_shot_params(shot_root, cat_name, cat):
 
 def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
                   extractor, n_frames, pipe, n_points, seed, progress,
-                  per_branch=False):
-    """Held-out eval through the full two-branch ensemble graph."""
+                  per_branch=False, variants=None):
+    """Held-out eval through the full two-branch ensemble graph.
+
+    `variants` ({name: PipelineConfig}) runs several pipeline configurations
+    over the SAME frames/descriptors/keys — a paired comparison (e.g. the
+    three arbitration rules) for the price of the extra pose graphs only.
+    The first variant is the one reported in the headline summary/mAP set.
+    """
     from cppf2_tpu.train.driver import _frame_descriptors
 
     cat = CATEGORIES[cat_name]
     gen = SyntheticFrameGenerator(cat, n_max=n_points, shot_k=48, seed=seed + 77)
     cls_id = cat.category_id
+    variants = variants or {"base": pipe}
 
     @jax.jit
     def preprocess_only(depth, key):
         return preprocess_frame(depth, depth > 0, gen.intrinsics, key,
                                 res=cat.res, n_max=n_points, shot_k=48)
 
-    def make_pose(use_visual, use_geo):
+    def make_pose(use_visual, use_geo, vpipe):
         # param trees enter as jit ARGUMENTS (closure pytrees are inlined
         # as module constants and defeat the compile cache — CLAUDE.md)
         @jax.jit
@@ -95,13 +102,15 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
 
             return estimate_pose_ensemble(
                 dino_apply, dp, shot_apply, sp,
-                fi.pc, fi.valid, fi.count, key, cat, pipe, run_opt=True,
+                fi.pc, fi.valid, fi.count, key, cat, vpipe, run_opt=True,
                 use_visual=use_visual, use_geo=use_geo,
             )
         return pose
 
-    pose_both = make_pose(True, True)
-    pose_each = (make_pose(True, False), make_pose(False, True)) if per_branch else None
+    pose_variants = {n: make_pose(True, True, vp) for n, vp in variants.items()}
+    pose_each = (
+        (make_pose(True, False, pipe), make_pose(False, True, pipe))
+        if per_branch else None)
 
     def to_row(est, i, f, handle_vis):
         # ONE host fetch per frame (each np.asarray costs ~80 ms via relay);
@@ -123,7 +132,10 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         err = pose_error_degree_cm(rt, gt_rt, cat_name, handle_visibility=handle_vis)
         return res, err, int(pick)
 
-    results, errs, picks, vis = [], [], [], []
+    vnames = list(pose_variants)
+    results, vis = [], []
+    verrs = {n: [] for n in vnames}
+    vpicks = {n: [] for n in vnames}
     branch_errs = {"dino": [], "shot": []}
     t0 = time.time()
     for i in range(n_frames):
@@ -134,12 +146,14 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         fi = preprocess_only(f.depth, key)
         fd = f._replace(pixel_yx=fi.pixel_yx)
         desc = jnp.asarray(_frame_descriptors(fd, extractor))
-        est = pose_both(dino_params, shot_params, fi, desc,
-                        jax.random.fold_in(key, 1))
-        row, err, pick = to_row(est, i, f, handle_vis)
-        picks.append(pick)
-        results.append(row)
-        errs.append(err)
+        for vn in vnames:
+            est = pose_variants[vn](dino_params, shot_params, fi, desc,
+                                    jax.random.fold_in(key, 1))
+            row, err, pick = to_row(est, i, f, handle_vis)
+            vpicks[vn].append(pick)
+            verrs[vn].append(err)
+            if vn == vnames[0]:
+                results.append(row)
         if per_branch:
             for name, fn in zip(("dino", "shot"), pose_each):
                 eb = fn(dino_params, shot_params, fi, desc,
@@ -149,23 +163,36 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         if (i + 1) % 25 == 0:
             progress(f"[{cat_name}] eval {i + 1}/{n_frames} "
                      f"({(time.time() - t0) / (i + 1):.1f} s/frame)")
-    errs = np.asarray(errs)
-    picks = np.asarray(picks)
-    ok = (errs[:, 0] < 5) & (errs[:, 1] < 5)
-    lo, hi = wilson_ci(int(ok.sum()), len(ok))
+
+    def variant_summary(errs, picks):
+        errs = np.asarray(errs)
+        picks = np.asarray(picks)
+        ok = (errs[:, 0] < 5) & (errs[:, 1] < 5)
+        lo, hi = wilson_ci(int(ok.sum()), len(ok))
+        return errs, picks, ok, {
+            "median_deg": float(np.median(errs[:, 0])),
+            "median_cm": float(np.median(errs[:, 1])),
+            "deg5cm5": float(ok.mean()),
+            "deg5cm5_ci95": [lo, hi],
+            "visual_pick_rate": float(np.mean(picks == 0)),
+            "n_frames": n_frames,
+        }
+
+    errs, picks, ok, out = variant_summary(verrs[vnames[0]], vpicks[vnames[0]])
     progress(
-        f"[{cat_name}] {n_frames} frames: median {np.median(errs[:, 0]):.1f} deg "
-        f"/ {np.median(errs[:, 1]):.2f} cm, 5d5cm {ok.mean():.3f} "
-        f"[{lo:.2f}, {hi:.2f}], visual-pick {np.mean(picks == 0):.2f}"
+        f"[{cat_name}] {n_frames} frames: median {out['median_deg']:.1f} deg "
+        f"/ {out['median_cm']:.2f} cm, 5d5cm {out['deg5cm5']:.3f} "
+        f"{[round(c, 2) for c in out['deg5cm5_ci95']]}, "
+        f"visual-pick {out['visual_pick_rate']:.2f}"
     )
-    out = {
-        "median_deg": float(np.median(errs[:, 0])),
-        "median_cm": float(np.median(errs[:, 1])),
-        "deg5cm5": float(ok.mean()),
-        "deg5cm5_ci95": [lo, hi],
-        "visual_pick_rate": float(np.mean(picks == 0)),
-        "n_frames": n_frames,
-    }
+    if len(vnames) > 1:
+        out["variants"] = {}
+        for vn in vnames:
+            _, _, _, vout = variant_summary(verrs[vn], vpicks[vn])
+            out["variants"][vn] = vout
+            progress(f"[{cat_name}]   variant {vn}: 5d5cm {vout['deg5cm5']:.3f} "
+                     f"{[round(c, 2) for c in vout['deg5cm5_ci95']]}, "
+                     f"visual-pick {vout['visual_pick_rate']:.2f}")
     if per_branch:
         for name in ("dino", "shot"):
             be = np.asarray(branch_errs[name])
@@ -209,6 +236,14 @@ def main():
                     help="ensemble branch-selection rule "
                          "(PipelineConfig.arbiter); default = config default")
     ap.add_argument("--arbiter-margin", type=float, default=None)
+    ap.add_argument("--compare", nargs="*", default=None,
+                    metavar="FIELD=VALUE",
+                    help="paired variant comparison: each token overrides one "
+                         "PipelineConfig field on the base config and is "
+                         "evaluated on the SAME frames (e.g. --compare "
+                         "arbiter=recon arbiter=cross arbiter=margin, or "
+                         "yaw_sweep=False yaw_sweep=True). The first variant "
+                         "feeds the headline summary and the mAP artifact set.")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (accuracy runs bit-for-bit "
                          "the same pipeline; useful when the TPU relay is "
@@ -231,6 +266,19 @@ def main():
     pipe = PipelineConfig(n_points=args.n_points, num_pairs=args.num_pairs,
                           restarts=args.restarts, scale_mode=args.scale_mode,
                           **over)
+    variants = None
+    if args.compare:
+        import ast
+        import dataclasses as dc
+
+        variants = {}
+        for tok in args.compare:
+            field, _, raw = tok.partition("=")
+            try:
+                val = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                val = raw
+            variants[tok] = dc.replace(pipe, **{field: val})
     os.makedirs(args.out, exist_ok=True)
     all_results, summary = [], {}
     for cat_name in args.categories:
@@ -279,6 +327,7 @@ def main():
             cat_name, shot_model, shot_params, dino_model, dino_params,
             extractor, args.frames, pipe, args.n_points, args.seed, print,
             per_branch=cat_name in (args.per_branch_cats or []),
+            variants=variants,
         )
         all_results += results
         summary[cat_name] = cat_summary

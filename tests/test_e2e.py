@@ -329,8 +329,9 @@ class TestBatchedFramePath:
         pipe = PipelineConfig(n_points=512, num_pairs=1024, opt_steps=5)
 
         keys = jax.random.split(jax.random.key(7), 2)
-        args = (models.dino_params, models.shot_params, 0,
-                jnp.asarray(rgb.astype(np.uint8)), jnp.asarray(depth))
+        # geo-path signature: dummy (grids, txys) broadcast via in_axes=None
+        args = (models.dino_params, models.shot_params, jnp.zeros(1),
+                jnp.zeros(1), jnp.asarray(depth))
         tail = (jnp.asarray(REAL275_INTRINSICS),)
         fn2 = _frame_group_fn(models, cat, pipe, False, False, True,
                               256, 8, None, 2)
@@ -454,6 +455,22 @@ class TestBatchedFramePath:
             rt, scales, loss = out[i]
             assert np.isfinite(rt).all() and np.isfinite(loss)
         assert out[2] is None
+
+    def test_pack_vit_chunks(self):
+        from cppf2_tpu.eval.driver import _pack_vit_chunks
+
+        # a typical mixed frame (two groups, batches 2+1) -> ONE ViT dispatch
+        assert _pack_vit_chunks([2, 1], 8) == [([0, 1], (2, 1))]
+        # capacity respected, first-fit-decreasing, every chunk placed once
+        packs = _pack_vit_chunks([4, 8, 2, 4], 8)
+        placed = sorted(ci for ids, _ in packs for ci in ids)
+        assert placed == [0, 1, 2, 3]
+        for ids, sizes in packs:
+            assert sum(sizes) <= 8
+            assert tuple(sizes) == tuple(sorted(sizes, reverse=True))
+        assert len(packs) == 3  # (8,), (4, 4), (2,)
+        # singleton fits
+        assert _pack_vit_chunks([1], 8) == [([0], (1,))]
 
 
 @pytest.mark.slow
