@@ -456,6 +456,42 @@ class TestBatchedFramePath:
             assert np.isfinite(rt).all() and np.isfinite(loss)
         assert out[2] is None
 
+    def test_vit_stage_batch_matches_singletons(self, synthetic_real275):
+        # the frame-wide ViT stage at batch 2 == per-mask calls: neither the
+        # vmapped ViT forward nor the in-graph grid split may couple
+        # instances
+        import jax.numpy as jnp
+
+        from cppf2_tpu.models.dinov2 import (
+            DinoFeatureExtractor,
+            ViTConfig,
+            bbox_crop_token_grid,
+        )
+        from cppf2_tpu.eval.driver import _vit_stage_fn
+
+        rgb, depth, res = self._load(synthetic_real275)
+        m0 = res["pred_masks"][:, :, 0].astype(bool)
+        m1 = np.roll(m0, 30, axis=1)
+        ext = DinoFeatureExtractor(
+            cfg=ViTConfig(embed_dim=64, depth=1, num_heads=4,
+                          pretrain_grid=8),
+            stride=8,
+        )
+        ext.init_random(hw=(256, 256))
+        vfn = _vit_stage_fn(ext, (1, 1))
+        (g0, t0), (g1, t1) = vfn(
+            ext.params, jnp.asarray(rgb.astype(np.uint8)),
+            jnp.asarray(np.stack([m0, m1])))
+        rgb_f = jnp.asarray(rgb.astype(np.float32) / 255.0)
+        for m, g, t in ((m0, g0, t0), (m1, g1, t1)):
+            want_g, want_t = bbox_crop_token_grid(
+                ext.model, ext.params, rgb_f, jnp.asarray(m),
+                out_size=ext.out_size, stride=ext.stride)
+            np.testing.assert_allclose(np.asarray(t)[0], np.asarray(want_t),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(g)[0], np.asarray(want_g),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_pack_vit_chunks(self):
         from cppf2_tpu.eval.driver import _pack_vit_chunks
 
