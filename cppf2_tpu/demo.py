@@ -47,35 +47,48 @@ def depth_band_mask(depth_m: np.ndarray, lo=0.2, hi=1.5) -> np.ndarray:
 
 
 def auto_instance_mask(depth_m, intrinsics, category=None, scale_range=None,
-                       mask_index=0, verbose=False):
+                       mask_index=0, verbose=False, prev_mask=None):
     """Segment the frame with the geometric instance proposer
     (`infer/segmenter.py`: depth edges -> support-plane removal -> connected
     components -> category scale prior). `mask_index` picks among the ranked
     proposals — without a semantic detector (the reference uses a COCO
     Mask R-CNN, demo.py:95-115) two scale-compatible tabletop objects are
     indistinguishable, so the demo prints the ranked list once and lets the
-    user choose. Falls back to the depth-band heuristic when the scene
+    user choose. From the second frame on, `prev_mask` pins the *identity*:
+    the proposal with the best IoU against the previous frame's selection
+    wins (the per-frame score ranking can flip between two similar objects
+    at depth-noise level, which would silently switch the posed instance
+    mid-video). Falls back to the depth-band heuristic when the scene
     yields no proposal."""
-    from cppf2_tpu.infer.segmenter import backproject_grid, propose_instances
+    from cppf2_tpu.infer.segmenter import (
+        backproject_grid,
+        propose_instances,
+        resolve_scale_range,
+    )
 
-    if scale_range is None and category is not None:
-        from cppf2_tpu.config import CATEGORIES
-
-        if category in CATEGORIES:
-            scale_range = CATEGORIES[category].scale_range
+    scale_range = resolve_scale_range(category, scale_range)
     props = propose_instances(depth_m, intrinsics, scale_range)
     if not props:
         return depth_band_mask(depth_m)
+    pick = min(mask_index, len(props) - 1)
+    if prev_mask is not None:
+        ious = [
+            (m & prev_mask).sum() / max((m | prev_mask).sum(), 1)
+            for m in props
+        ]
+        best = int(np.argmax(ious))
+        if ious[best] > 0.2:  # tracked: keep the same physical object
+            pick = best
     if verbose:
         pts = backproject_grid(depth_m, intrinsics)
         for i, m in enumerate(props):
             p = pts[m]
             ext = float((p.max(0) - p.min(0)).max())
-            tag = " <- selected" if i == min(mask_index, len(props) - 1) else ""
+            tag = " <- selected" if i == pick else ""
             print(f"[demo] proposal {i}: {int(m.sum())} px, "
                   f"max extent {ext * 100:.1f} cm, "
                   f"median depth {float(np.median(p[:, 2])):.2f} m{tag}")
-    return props[min(mask_index, len(props) - 1)]
+    return props[pick]
 
 
 def run_frame(
@@ -197,6 +210,7 @@ def main():
     key = jax.random.key(0)
     intrinsics = (np.load(args.intrinsics).astype(np.float32)
                   if args.intrinsics else DEFAULT_INTRINSICS)
+    prev_mask = None
     for i, (rgb_p, depth_p) in enumerate(zip(rgb_paths, depth_paths)):
         rgb = cv2.imread(rgb_p)[:, :, ::-1]
         depth = _read_depth(depth_p, args.depth_scale)
@@ -207,7 +221,9 @@ def main():
             mask = auto_instance_mask(
                 depth, intrinsics, category=args.category,
                 mask_index=args.mask_index, verbose=(i == 0),
+                prev_mask=prev_mask,
             )
+            prev_mask = mask
         else:
             raise SystemExit("provide --mask files or --auto-mask")
         key, sub = jax.random.split(key)

@@ -345,8 +345,12 @@ class PendingFrameGroup(NamedTuple):
 
 # frame-wide ViT stage programs, shared across categories (the ViT is
 # category-independent) — keyed on the extractor's behavior + the pack's
-# chunk-size signature
+# chunk-size signature. Multi-chunk signatures are capped: each novel one
+# costs a fresh ViT compile through the relay (minutes, though cached on
+# disk via JAX_COMPILATION_CACHE_DIR), so past the cap dispatch_frame falls
+# back to per-chunk singles — the (b,) signatures, bounded by len(buckets).
 _VIT_STAGE_CACHE: dict = {}
+_VIT_STAGE_MULTI_CAP = 8
 
 
 def _vit_stage_fn(extractor, batches: tuple):
@@ -545,13 +549,25 @@ def dispatch_frame(
     grids_by_chunk: Dict[int, tuple] = {}
     if chunks and visual_on:
         rgb_j = jnp.asarray(rgb)
+        n_multi = sum(len(k[3]) > 1 for k in _VIT_STAGE_CACHE)
         for ids, sizes in _pack_vit_chunks(
                 [c[4] for c in chunks], buckets[-1]):
-            vfn = _vit_stage_fn(dino_extractor, sizes)
-            mstack = np.concatenate([chunks[ci][3] for ci in ids])
-            parts = vfn(dino_extractor.params, rgb_j, jnp.asarray(mstack))
-            for ci, part in zip(ids, parts):
-                grids_by_chunk[ci] = part
+            ext_key = (dino_extractor.cfg, dino_extractor.stride,
+                       dino_extractor.out_size)
+            if (len(sizes) > 1 and (*ext_key, sizes) not in _VIT_STAGE_CACHE
+                    and n_multi >= _VIT_STAGE_MULTI_CAP):
+                # novel multi-chunk signature past the compile budget:
+                # dispatch each chunk alone ((b,) programs, bounded set)
+                packs = [([ci], (b,)) for ci, b in zip(ids, sizes)]
+            else:
+                packs = [(ids, sizes)]
+                n_multi += len(sizes) > 1
+            for pids, psizes in packs:
+                vfn = _vit_stage_fn(dino_extractor, psizes)
+                mstack = np.concatenate([chunks[ci][3] for ci in pids])
+                parts = vfn(dino_extractor.params, rgb_j, jnp.asarray(mstack))
+                for ci, part in zip(pids, parts):
+                    grids_by_chunk[ci] = part
 
     for ci, (cat_name, crop, idxs, masks, batch) in enumerate(chunks):
         cat = get_category(cat_name)

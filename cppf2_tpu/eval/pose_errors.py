@@ -77,13 +77,50 @@ def fetch_rt_pair(est, frame, extras=()):
          frame.rotation, frame.translation, frame.scale_norm, frame.bound)
         + tuple(extras)
     )
-    rot, trans, scale, snorm, g_rot, g_trans, g_snorm, g_bound = vals[:8]
+    rt, scales = _assemble_rt(*vals[:4])
+    gt_rt, gt_scales = _assemble_gt(*vals[4:8])
+    return (rt, scales, gt_rt, gt_scales) + tuple(vals[8:])
+
+
+def fetch_rt_pairs(ests, frame, extras_per_est=None):
+    """Batch variant of `fetch_rt_pair`: fetch MANY pose estimates against
+    the same gt frame in ONE host sync (a paired-variant eval doing one
+    fetch per variant pays ~80 ms per extra sync through the TPU relay).
+
+    Returns a list of (rt, scales, gt_rt, gt_scales, *extras_i) in `ests`
+    order; `extras_per_est` is an optional same-length list of tuples of
+    additional device values riding the same fetch."""
+    import jax
+
+    extras_per_est = extras_per_est or [()] * len(ests)
+    flat = tuple(
+        x for est, ex in zip(ests, extras_per_est)
+        for x in (est.rotation, est.translation, est.scale, est.scale_norm)
+        + tuple(ex)
+    ) + (frame.rotation, frame.translation, frame.scale_norm, frame.bound)
+    vals = jax.device_get(flat)
+    gt_rt, gt_scales = _assemble_gt(*vals[-4:])
+    out, off = [], 0
+    for ex in extras_per_est:
+        rt, scales = _assemble_rt(*vals[off:off + 4])
+        n_ex = len(ex)
+        out.append((rt, scales, gt_rt, gt_scales)
+                   + tuple(vals[off + 4:off + 4 + n_ex]))
+        off += 4 + n_ex
+    return out
+
+
+def _assemble_rt(rot, trans, scale, snorm):
     rt = np.eye(4)
     rt[:3, :3] = np.asarray(rot) * max(float(snorm), 1e-9)
     rt[:3, 3] = np.asarray(trans)
     scales = np.asarray(scale) / max(float(snorm), 1e-9)
+    return rt, scales
+
+
+def _assemble_gt(g_rot, g_trans, g_snorm, g_bound):
     gt_rt = np.eye(4)
     gt_rt[:3, :3] = np.asarray(g_rot) * float(g_snorm)
     gt_rt[:3, 3] = np.asarray(g_trans)
     gt_scales = np.asarray(g_bound) / float(g_snorm)
-    return (rt, scales, gt_rt, gt_scales) + tuple(vals[8:])
+    return gt_rt, gt_scales

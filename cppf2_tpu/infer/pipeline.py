@@ -271,6 +271,9 @@ def _arbitrate(points, poses: _BranchPose, scale_norm, up_sym: bool,
     The reported loss is the picked candidate's score under the SAME rule,
     so restart selection optimizes one consistent objective.
     """
+    if arbiter not in ("recon", "cross", "margin"):
+        raise ValueError(f"unknown arbiter {arbiter!r} "
+                         "(expected 'recon', 'cross' or 'margin')")
     n_branch = poses.rotation.shape[0]
     own = jax.vmap(
         functools.partial(_recon_loss, up_sym=up_sym), in_axes=(None, 0, None)

@@ -235,6 +235,20 @@ def propose_instances(
     return [m for _, m in scored[:max_instances]]
 
 
+def resolve_scale_range(
+    category: Optional[str], scale_range: Optional[Tuple[float, float]]
+) -> Optional[Tuple[float, float]]:
+    """Category -> scale prior lookup (`config.py::CATEGORIES`); an explicit
+    `scale_range` overrides it (custom objects). Shared by `auto_mask` and
+    the demo's `auto_instance_mask` so the prior logic cannot drift."""
+    if scale_range is None and category is not None:
+        from cppf2_tpu.config import CATEGORIES
+
+        if category in CATEGORIES:
+            return CATEGORIES[category].scale_range
+    return scale_range
+
+
 def auto_mask(
     depth_m: np.ndarray,
     intrinsics: np.ndarray,
@@ -242,14 +256,7 @@ def auto_mask(
     scale_range: Optional[Tuple[float, float]] = None,
     band: Tuple[float, float] = (0.15, 3.0),
 ) -> Optional[np.ndarray]:
-    """Best single instance mask for a frame, or None.
-
-    `category` pulls the scale prior from `config.py::CATEGORIES`; an
-    explicit `scale_range` overrides it (custom objects)."""
-    if scale_range is None and category is not None:
-        from cppf2_tpu.config import CATEGORIES
-
-        if category in CATEGORIES:
-            scale_range = CATEGORIES[category].scale_range
+    """Best single instance mask for a frame, or None."""
+    scale_range = resolve_scale_range(category, scale_range)
     props = propose_instances(depth_m, intrinsics, scale_range, band=band)
     return props[0] if props else None

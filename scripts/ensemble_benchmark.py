@@ -36,7 +36,7 @@ import numpy as np
 from cppf2_tpu.config import CATEGORIES, PipelineConfig, SYNSET_NAMES
 from cppf2_tpu.data.synthetic import SyntheticFrameGenerator
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
-from cppf2_tpu.eval.pose_errors import fetch_rt_pair, pose_error_degree_cm
+from cppf2_tpu.eval.pose_errors import fetch_rt_pairs, pose_error_degree_cm
 from cppf2_tpu.infer.frontend import preprocess_frame
 from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
 from cppf2_tpu.models import DinoBranch, ShotBranch
@@ -112,12 +112,11 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         (make_pose(True, False, pipe), make_pose(False, True, pipe))
         if per_branch else None)
 
-    def to_row(est, i, f, handle_vis):
-        # ONE host fetch per frame (each np.asarray costs ~80 ms via relay);
-        # est.pick rides the same fetch — int(est.pick) later would be a
-        # second per-frame sync
-        rt, scales, gt_rt, gt_scales, pick = fetch_rt_pair(
-            est, f, extras=(est.pick,))
+    def to_row(fetched, i, handle_vis):
+        # assembles one result row from pre-fetched values: ALL of a frame's
+        # variant/per-branch estimates ride ONE device_get (each separate
+        # fetch costs ~80 ms via the relay)
+        rt, scales, gt_rt, gt_scales, pick = fetched
         res = {
             "image_path": f"synth_{i}",
             "gt_class_ids": np.array([cls_id]),
@@ -146,19 +145,25 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
         fi = preprocess_only(f.depth, key)
         fd = f._replace(pixel_yx=fi.pixel_yx)
         desc = jnp.asarray(_frame_descriptors(fd, extractor))
-        for vn in vnames:
-            est = pose_variants[vn](dino_params, shot_params, fi, desc,
-                                    jax.random.fold_in(key, 1))
-            row, err, pick = to_row(est, i, f, handle_vis)
+        # dispatch EVERY variant + per-branch graph first (async), then one
+        # host sync for the whole frame
+        ests = [pose_variants[vn](dino_params, shot_params, fi, desc,
+                                  jax.random.fold_in(key, 1))
+                for vn in vnames]
+        if per_branch:
+            ests += [fn(dino_params, shot_params, fi, desc,
+                        jax.random.fold_in(key, 1)) for fn in pose_each]
+        fetched = fetch_rt_pairs(
+            ests, f, extras_per_est=[(e.pick,) for e in ests])
+        for vn, vals in zip(vnames, fetched):
+            row, err, pick = to_row(vals, i, handle_vis)
             vpicks[vn].append(pick)
             verrs[vn].append(err)
             if vn == vnames[0]:
                 results.append(row)
         if per_branch:
-            for name, fn in zip(("dino", "shot"), pose_each):
-                eb = fn(dino_params, shot_params, fi, desc,
-                        jax.random.fold_in(key, 1))
-                _, err_b, _ = to_row(eb, i, f, handle_vis)
+            for name, vals in zip(("dino", "shot"), fetched[len(vnames):]):
+                _, err_b, _ = to_row(vals, i, handle_vis)
                 branch_errs[name].append(err_b)
         if (i + 1) % 25 == 0:
             progress(f"[{cat_name}] eval {i + 1}/{n_frames} "

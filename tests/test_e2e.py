@@ -492,6 +492,39 @@ class TestBatchedFramePath:
             np.testing.assert_allclose(np.asarray(g)[0], np.asarray(want_g),
                                        rtol=2e-4, atol=2e-4)
 
+    def test_vit_multi_signature_cap_falls_back(self, synthetic_real275,
+                                                monkeypatch):
+        # past the multi-chunk compile budget, a novel pack signature must
+        # fall back to per-chunk (b,) ViT programs and still produce poses
+        import jax
+
+        import cppf2_tpu.eval.driver as drv
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, ViTConfig
+
+        rgb, depth, res = self._load(synthetic_real275)
+        m0 = res["pred_masks"][:, :, 0].astype(bool)
+        m1 = np.roll(m0, 30, axis=1)
+        models = drv.load_category_models(None, ["can", "mug"])
+        ext = DinoFeatureExtractor(
+            cfg=ViTConfig(embed_dim=1024, depth=1, num_heads=16,
+                          pretrain_grid=8),
+            stride=8,
+        )
+        ext.init_random(hw=(256, 256))
+        pipe = PipelineConfig(n_points=512, num_pairs=1024, opt_steps=5)
+        monkeypatch.setattr(drv, "_VIT_STAGE_MULTI_CAP", 0)
+        before = {k for k in drv._VIT_STAGE_CACHE if len(k[3]) > 1}
+        out = drv.fetch_frames(drv.dispatch_frame(
+            rgb, depth, [("can", m0), ("mug", m1)], drv.REAL275_INTRINSICS,
+            models, pipe, jax.random.key(0), dino_extractor=ext,
+            run_opt=False))
+        after = {k for k in drv._VIT_STAGE_CACHE if len(k[3]) > 1}
+        assert after == before  # no new multi-chunk program compiled
+        for i in (0, 1):
+            rt, scales, loss = out[i]
+            assert np.isfinite(rt).all() and np.isfinite(loss)
+
     def test_pack_vit_chunks(self):
         from cppf2_tpu.eval.driver import _pack_vit_chunks
 

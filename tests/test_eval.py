@@ -262,3 +262,28 @@ class TestFetchRtPair:
         np.testing.assert_allclose(gt_rt[:3, :3], r * 0.5)
         np.testing.assert_allclose(gt_scales, [0.6, 0.8, 0.0])
         assert int(pick) == 1
+
+    def test_batched_matches_single(self):
+        # fetch_rt_pairs == [fetch_rt_pair(e) for e in ests], one sync
+        from collections import namedtuple
+
+        from cppf2_tpu.eval.pose_errors import fetch_rt_pair, fetch_rt_pairs
+
+        Est = namedtuple("Est", "rotation translation scale scale_norm pick")
+        Frame = namedtuple("Frame", "rotation translation scale_norm bound")
+        rng = np.random.default_rng(3)
+        ests = [
+            Est(np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32),
+                rng.normal(size=3).astype(np.float32),
+                np.abs(rng.normal(size=3)).astype(np.float32),
+                np.float32(1.0 + i), np.int32(i))
+            for i in range(3)
+        ]
+        f = Frame(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                  np.float32(0.5), np.array([0.3, 0.4, 0.0], np.float32))
+        batched = fetch_rt_pairs(
+            ests, f, extras_per_est=[(e.pick,) for e in ests])
+        for est, got in zip(ests, batched):
+            want = fetch_rt_pair(est, f, extras=(est.pick,))
+            for a, b in zip(got, want):
+                np.testing.assert_allclose(a, b)
