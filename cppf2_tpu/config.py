@@ -143,7 +143,7 @@ class PipelineConfig:
                                   # factor (visible-handle 0.70 -> 0.40);
                                   # kept as the tested record of that result.
                                   # "pair" = reference semantics.
-    arbiter: str = "cross"        # ensemble branch selection:
+    arbiter: str = "margin"       # ensemble branch selection:
                                   #  "recon" — each branch's own clipped
                                   #    reconstruction loss, ties to visual
                                   #    (reference semantics, eval.py:358-372);
@@ -154,11 +154,22 @@ class PipelineConfig:
                                   #    wrong (the round-3 laptop failure:
                                   #    a random-backbone visual branch won
                                   #    24% of frames at 0.125 accuracy) can
-                                  #    game its own yardstick but not the
-                                  #    other branch's;
+                                  #    game its own yardstick but it also
+                                  #    drags GOOD geo poses toward its own
+                                  #    broken yardstick — measured WORST of
+                                  #    the three (laptop n=100 paired, 20k
+                                  #    pairs: cross 0.49 / recon 0.59 /
+                                  #    margin 0.72 at 5°5cm,
+                                  #    benchmarks/r4_arbiter_laptop);
                                   #  "margin" — reference rule, but the
                                   #    visual branch overrides geo only when
-                                  #    it wins by `arbiter_margin`.
+                                  #    it wins by `arbiter_margin`. Default:
+                                  #    the ensemble never underperforms its
+                                  #    stronger branch (laptop 0.72 vs 0.73
+                                  #    geo-only; visual picked on 1% of
+                                  #    frames with the random backbone, and
+                                  #    a trained visual branch still wins
+                                  #    whenever it is clearly better).
     arbiter_margin: float = 0.005 # margin for arbiter="margin"
     yaw_sweep: Optional[bool] = None  # post-alignment feature-weighted yaw
                                   # micro-sweep (infer/alignment.py::
