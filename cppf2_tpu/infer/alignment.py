@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 import optax
 
 from cppf2_tpu.core.geometry import quat_to_matrix
@@ -104,6 +105,8 @@ def yaw_sweep(
     span_deg: float = 10.0,
     num: int = 41,
     min_feature_mass: float = 0.005,
+    ring_step_deg: float = 10.0,
+    ring_margin: float = 0.25,
 ) -> jax.Array:
     """Feature-weighted yaw refinement: returns the refined (3, 3) rotation.
 
@@ -111,14 +114,26 @@ def yaw_sweep(
     handle: ~7% of the cloud) that the alignment L1 barely feels — body
     points dominate the loss, so 5-7deg near-misses survive the optimizer
     (the measured round-2/3 residual). This sweeps the yaw about the
-    canonical up axis over +-span_deg and rescores with pairs weighted by
-    their *predicted canonical radial excess* (how far outside the body
-    ring the model says the pair reaches): exactly the pairs that are
-    yaw-informative. Frames whose predictions show no radial feature (the
-    handle is occluded, yaw unobservable — the eval protocol forgives them
-    via gt_handle_visibility) keep their incoming yaw: the sweep is gated
-    on the total feature mass, and a tiny |delta| tiebreak keeps flat
-    sweeps at zero."""
+    canonical up axis and rescores with pairs weighted by their *predicted
+    canonical radial excess* (how far outside the body ring the model says
+    the pair reaches): exactly the pairs that are yaw-informative.
+
+    Two stages over the same weighted loss:
+    1. a coarse full-circle ring (every `ring_step_deg` outside the micro
+       window) competes with the dense +-span_deg micro sweep — gross yaw
+       flips (round-3 mug: 6/100 frames at 30-180deg, ALL handle-visible;
+       body points dominate the plain reconstruction loss so neither the
+       alignment nor the arbiter can reject them) are rescued only when the
+       ring beats the best micro loss by `ring_margin` AND the feature mass
+       is solid (2x the gate) — a correct pose never yields its yaw to a
+       noisy ring candidate;
+    2. a dense micro sweep about the winning center refines to <0.5deg.
+
+    Frames whose predictions show no radial feature (the handle is
+    occluded, yaw unobservable — the eval protocol forgives them via
+    gt_handle_visibility) keep their incoming yaw: the sweep is gated on
+    the total feature mass, and a tiny |delta| tiebreak keeps flat sweeps
+    at their center."""
     dt = points.dtype
     ax = up_axis_index
     others = [k for k in range(3) if k != ax]
@@ -133,18 +148,40 @@ def yaw_sweep(
     mass = jnp.sum(w_feat) / jnp.maximum(jnp.sum(valid), 1.0)
     w = w_feat[:, None, None]
 
-    deltas = jnp.linspace(
-        -span_deg, span_deg, num, dtype=dt) * (jnp.pi / 180.0)
-    rots = _axis_rotations(deltas, ax, dt)                         # (S, 3, 3)
     canon = (points[pair_idx] - translation) @ rotation            # (K, 2, 3)
-    # canon under an extra yaw delta: (p - T) @ (R @ R_ax) = canon @ R_ax
-    canon_s = jnp.einsum("ktc,scd->sktd", canon, rots)
-    loss = jnp.sum(
-        jnp.abs(canon_s - pred_pairs_scaled[None]) * w[None], axis=(1, 2, 3)
-    ) / jnp.maximum(jnp.sum(w) * 6.0, 1e-6)
-    # |delta| tiebreak: a flat (featureless) sweep stays at zero yaw
-    loss = loss + 3e-5 * jnp.abs(deltas) * (180.0 / jnp.pi)
-    best = jnp.argmin(loss)
-    delta = jnp.where(mass > min_feature_mass, deltas[best], 0.0)
+
+    def sweep(deltas):
+        # canon under an extra yaw delta: (p - T) @ (R @ R_ax) = canon @ R_ax
+        rots = _axis_rotations(deltas, ax, dt)                     # (S, 3, 3)
+        canon_s = jnp.einsum("ktc,scd->sktd", canon, rots)
+        return jnp.sum(
+            jnp.abs(canon_s - pred_pairs_scaled[None]) * w[None],
+            axis=(1, 2, 3),
+        ) / jnp.maximum(jnp.sum(w) * 6.0, 1e-6)
+
+    tiebreak = 3e-5 * 180.0 / _np.pi
+    micro = jnp.asarray(
+        _np.linspace(-span_deg, span_deg, num) * (_np.pi / 180.0), dt)
+    loss_micro_raw = jnp.min(sweep(micro))
+
+    # stage 1: coarse full-circle ring outside the micro window
+    ring_np = _np.arange(1, int(round(360.0 / ring_step_deg))) * ring_step_deg
+    ring_np = _np.where(ring_np > 180.0, ring_np - 360.0, ring_np)
+    ring_np = ring_np[_np.abs(ring_np) > span_deg + 1e-6]
+    ring = jnp.asarray(_np.radians(ring_np), dt)
+    loss_ring = sweep(ring)
+    br = jnp.argmin(loss_ring)
+    ring_wins = jnp.logical_and(
+        loss_ring[br] < (1.0 - ring_margin) * loss_micro_raw,
+        mass > 2.0 * min_feature_mass,
+    )
+    center = jnp.where(ring_wins, ring[br], 0.0)
+
+    # stage 2: dense micro refinement about the winning center (when the
+    # ring loses, this re-evaluates the plain micro sweep — same result)
+    deltas2 = center + micro
+    loss2 = sweep(deltas2) + tiebreak * jnp.abs(micro)
+    delta = jnp.where(
+        mass > min_feature_mass, deltas2[jnp.argmin(loss2)], 0.0)
     one = _axis_rotations(delta[None], ax, dt)[0]
     return rotation @ one

@@ -292,6 +292,41 @@ class TestYawSweep:
         assert before > 5.0, before
         assert after < 1.0, (before, after)
 
+    def test_recovers_gross_yaw_flip(self, rng):
+        # round-3 mug residual: 6/100 frames landed 30-180deg off in yaw
+        # (handle visible) — the coarse ring stage must rescue them and the
+        # micro stage must then refine below 1deg
+        from cppf2_tpu.infer.alignment import yaw_sweep
+
+        for off in (183.0, -94.0, 38.0):
+            pc, pc_canon, R, R_off, T, s = self._mug_scene(
+                rng, yaw_off_deg=off)
+            k = 1024
+            pairs = jnp.asarray(
+                rng.integers(0, len(pc), size=(k, 2)), jnp.int32)
+            canon = jnp.asarray(pc_canon)
+            refined = yaw_sweep(
+                jnp.asarray(pc), pairs, jnp.ones(k), canon[pairs] * s,
+                canon[pairs], jnp.asarray(R_off), jnp.asarray(T),
+                up_axis_index=1,
+            )
+            after = _rot_err_deg(np.asarray(refined), R)
+            assert after < 1.0, (off, after)
+
+    def test_correct_pose_survives_ring(self, rng):
+        # a correct pose must never yield its yaw to a ring candidate
+        from cppf2_tpu.infer.alignment import yaw_sweep
+
+        pc, pc_canon, R, _, T, s = self._mug_scene(rng, yaw_off_deg=0.0)
+        k = 1024
+        pairs = jnp.asarray(rng.integers(0, len(pc), size=(k, 2)), jnp.int32)
+        canon = jnp.asarray(pc_canon)
+        refined = yaw_sweep(
+            jnp.asarray(pc), pairs, jnp.ones(k), canon[pairs] * s,
+            canon[pairs], jnp.asarray(R), jnp.asarray(T), up_axis_index=1,
+        )
+        assert _rot_err_deg(np.asarray(refined), R) < 0.6
+
     def test_featureless_cloud_keeps_yaw(self, rng):
         # all pairs at the same canonical radius -> no radial excess mass
         # -> the sweep is gated off and the incoming rotation is returned
