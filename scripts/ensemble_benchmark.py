@@ -204,7 +204,14 @@ def eval_ensemble(cat_name, shot_model, shot_params, dino_model, dino_params,
             okb = (be[:, 0] < 5) & (be[:, 1] < 5)
             out[f"{name}_only_deg5cm5"] = float(okb.mean())
             out[f"{name}_only_median_deg"] = float(np.median(be[:, 0]))
-    return results, errs, picks, np.asarray(vis), out
+    # per-frame per-variant arrays for paired analysis artifacts
+    arrays = {}
+    if len(vnames) > 1:
+        for vn in vnames:
+            slug = vn.replace("=", "_")
+            arrays[f"errs__{slug}"] = np.asarray(verrs[vn])
+            arrays[f"picks__{slug}"] = np.asarray(vpicks[vn])
+    return results, errs, picks, np.asarray(vis), out, arrays
 
 
 def main():
@@ -328,7 +335,7 @@ def main():
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 shutil.copyfile(src, dst)
 
-        results, errs, picks, vis, cat_summary = eval_ensemble(
+        results, errs, picks, vis, cat_summary, varrays = eval_ensemble(
             cat_name, shot_model, shot_params, dino_model, dino_params,
             extractor, args.frames, pipe, args.n_points, args.seed, print,
             per_branch=cat_name in (args.per_branch_cats or []),
@@ -337,7 +344,7 @@ def main():
         all_results += results
         summary[cat_name] = cat_summary
         np.savez(os.path.join(args.out, f"errors_{cat_name}.npz"),
-                 errs=errs, picks=picks, handle_visible=vis)
+                 errs=errs, picks=picks, handle_visible=vis, **varrays)
         # checkpoint the summary as we go (long run)
         with open(os.path.join(args.out, "summary_partial.json"), "w") as f:
             json.dump(summary, f, indent=2)
