@@ -419,7 +419,7 @@ def estimate_pose_ensemble(
     assert use_visual or use_geo, "at least one branch must be enabled"
     sphere_pts = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
     k_tuple, k_dino, k_shot = jax.random.split(key, 3)
-    u = jax.random.uniform(k_tuple, (pipe.num_pairs, 5))
+    u = jax.random.uniform(k_tuple, (pipe.num_pairs, cat.tuple_size))
     tuple_idx = jnp.floor(u * count).astype(jnp.int32)
 
     # only the *enabled* branches' MLPs run (use_visual/use_geo are static
