@@ -59,7 +59,13 @@ def auto_instance_mask(depth_m, intrinsics, category=None, scale_range=None,
     wins (the per-frame score ranking can flip between two similar objects
     at depth-noise level, which would silently switch the posed instance
     mid-video). Falls back to the depth-band heuristic when the scene
-    yields no proposal."""
+    yields no proposal.
+
+    Returns (mask, from_proposal): `from_proposal` is False on the
+    depth-band fallback — callers tracking identity across frames must NOT
+    seed `prev_mask` from a fallback mask (it is often the support surface,
+    which would pin tracking to the wrong object for the rest of the
+    video)."""
     from cppf2_tpu.infer.segmenter import (
         backproject_grid,
         propose_instances,
@@ -69,8 +75,11 @@ def auto_instance_mask(depth_m, intrinsics, category=None, scale_range=None,
     scale_range = resolve_scale_range(category, scale_range)
     props = propose_instances(depth_m, intrinsics, scale_range)
     if not props:
-        return depth_band_mask(depth_m)
+        return depth_band_mask(depth_m), False
     pick = min(mask_index, len(props) - 1)
+    if pick != mask_index:
+        print(f"[demo] --mask-index {mask_index} out of range: only "
+              f"{len(props)} proposal(s) this frame, using {pick}")
     if prev_mask is not None:
         ious = [
             (m & prev_mask).sum() / max((m | prev_mask).sum(), 1)
@@ -88,7 +97,7 @@ def auto_instance_mask(depth_m, intrinsics, category=None, scale_range=None,
             print(f"[demo] proposal {i}: {int(m.sum())} px, "
                   f"max extent {ext * 100:.1f} cm, "
                   f"median depth {float(np.median(p[:, 2])):.2f} m{tag}")
-    return props[pick]
+    return props[pick], True
 
 
 def run_frame(
@@ -218,12 +227,17 @@ def main():
             mask = cv2.imread(args.mask[i], -1)
             mask = (mask > 0) if mask.ndim == 2 else (mask.sum(-1) > 0)
         elif args.auto_mask:
-            mask = auto_instance_mask(
+            mask, from_proposal = auto_instance_mask(
                 depth, intrinsics, category=args.category,
                 mask_index=args.mask_index, verbose=(i == 0),
                 prev_mask=prev_mask,
             )
-            prev_mask = mask
+            # only a real proposal may re-seed identity tracking: the
+            # depth-band fallback (no-proposal frames) is often the support
+            # surface, and storing it would pin every later frame's IoU
+            # match to the wrong object
+            if from_proposal:
+                prev_mask = mask
         else:
             raise SystemExit("provide --mask files or --auto-mask")
         key, sub = jax.random.split(key)

@@ -554,14 +554,17 @@ def dispatch_frame(
                 [c[4] for c in chunks], buckets[-1]):
             ext_key = (dino_extractor.cfg, dino_extractor.stride,
                        dino_extractor.out_size)
-            if (len(sizes) > 1 and (*ext_key, sizes) not in _VIT_STAGE_CACHE
-                    and n_multi >= _VIT_STAGE_MULTI_CAP):
+            novel_multi = (len(sizes) > 1
+                           and (*ext_key, sizes) not in _VIT_STAGE_CACHE)
+            if novel_multi and n_multi >= _VIT_STAGE_MULTI_CAP:
                 # novel multi-chunk signature past the compile budget:
                 # dispatch each chunk alone ((b,) programs, bounded set)
                 packs = [([ci], (b,)) for ci, b in zip(ids, sizes)]
             else:
                 packs = [(ids, sizes)]
-                n_multi += len(sizes) > 1
+                # count only NEWLY compiled multi signatures against the
+                # cap — reusing a cached one costs no compile budget
+                n_multi += novel_multi
             for pids, psizes in packs:
                 vfn = _vit_stage_fn(dino_extractor, psizes)
                 mstack = np.concatenate([chunks[ci][3] for ci in pids])

@@ -93,6 +93,9 @@ def fetch_rt_pairs(ests, frame, extras_per_est=None):
     import jax
 
     extras_per_est = extras_per_est or [()] * len(ests)
+    assert len(extras_per_est) == len(ests), (
+        f"extras_per_est has {len(extras_per_est)} entries for "
+        f"{len(ests)} estimates — zip would silently drop the tail")
     flat = tuple(
         x for est, ex in zip(ests, extras_per_est)
         for x in (est.rotation, est.translation, est.scale, est.scale_norm)

@@ -19,6 +19,8 @@ import numpy as np
 def bucket(deg, cm):
     if deg < 5 and cm < 5:
         return "hit"
+    if deg < 5:
+        return "trans(cm>5)"   # rotation fine — pure translation failure
     if deg < 8:
         return "near(5-8)"
     if deg < 30:
@@ -34,8 +36,10 @@ def main():
     args = ap.parse_args()
 
     d = np.load(args.npz)
-    slugs = sorted({k[len("errs__"):] for k in d.files
-                    if k.startswith("errs__")})
+    # keep the npz's insertion order == the run's --compare order (sorted()
+    # would alphabetize, silently swapping treatment and control for e.g.
+    # --compare yaw_sweep=True yaw_sweep=False)
+    slugs = [k[len("errs__"):] for k in d.files if k.startswith("errs__")]
     if not slugs:
         raise SystemExit("no per-variant arrays in this npz (single-variant "
                          f"run?). keys: {d.files}")
@@ -66,13 +70,14 @@ def main():
                   f"[{bucket(*ea[i])}]  handle_visible={int(hv[i])}")
 
     # bucket transition matrix
-    buckets = ["hit", "near(5-8)", "mid(8-30)", "gross(30+)"]
-    mat = np.zeros((4, 4), int)
+    buckets = ["hit", "trans(cm>5)", "near(5-8)", "mid(8-30)", "gross(30+)"]
+    nb = len(buckets)
+    mat = np.zeros((nb, nb), int)
     for i in range(len(ea)):
         mat[buckets.index(bucket(*eb[i])), buckets.index(bucket(*ea[i]))] += 1
-    print("\ncontrol \\ treatment " + " ".join(f"{s:>10s}" for s in buckets))
+    print("\ncontrol \\ treatment " + " ".join(f"{s:>11s}" for s in buckets))
     for r, s in enumerate(buckets):
-        print(f"{s:>19s} " + " ".join(f"{mat[r, c]:10d}" for c in range(4)))
+        print(f"{s:>19s} " + " ".join(f"{mat[r, c]:11d}" for c in range(nb)))
 
 
 if __name__ == "__main__":

@@ -127,7 +127,8 @@ class TestExampleDataParity:
         # the demo's selection path: ranked proposals + --mask-index
         ious = []
         for idx in range(4):
-            m = auto_instance_mask(depth, k, scale_range=(0.15, 0.22),
-                                   mask_index=idx)
+            m, from_proposal = auto_instance_mask(
+                depth, k, scale_range=(0.15, 0.22), mask_index=idx)
+            assert from_proposal
             ious.append((m & gt).sum() / (m | gt).sum())
         assert max(ious) > 0.5, ious
