@@ -525,6 +525,56 @@ class TestBatchedFramePath:
             rt, scales, loss = out[i]
             assert np.isfinite(rt).all() and np.isfinite(loss)
 
+    def test_vit_multi_budget_not_consumed_by_reuse(self, synthetic_real275,
+                                                    monkeypatch):
+        # reusing a CACHED multi-chunk signature must not count against
+        # _VIT_STAGE_MULTI_CAP: with cap=2 and one signature cached, any
+        # number of reuses must still leave room for one more novel
+        # signature to compile
+        import jax
+
+        import cppf2_tpu.eval.driver as drv
+        from cppf2_tpu.config import PipelineConfig
+        from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, ViTConfig
+
+        rgb, depth, res = self._load(synthetic_real275)
+        m0 = res["pred_masks"][:, :, 0].astype(bool)
+        m1 = np.roll(m0, 30, axis=1)
+        m2 = np.roll(m0, -30, axis=1)
+        models = drv.load_category_models(None, ["can", "mug"])
+        ext = DinoFeatureExtractor(
+            cfg=ViTConfig(embed_dim=1024, depth=1, num_heads=16,
+                          pretrain_grid=8),
+            stride=8,
+        )
+        ext.init_random(hw=(256, 256))
+        pipe = PipelineConfig(n_points=512, num_pairs=1024, opt_steps=5)
+        monkeypatch.setattr(drv, "_VIT_STAGE_MULTI_CAP", 2)
+        drv._VIT_STAGE_CACHE.clear()
+
+        def multis():
+            return {k[3] for k in drv._VIT_STAGE_CACHE if len(k[3]) > 1}
+
+        two = [("can", m0), ("mug", m1)]          # signature (1, 1)
+        drv.fetch_frames(drv.dispatch_frame(
+            rgb, depth, two, drv.REAL275_INTRINSICS, models, pipe,
+            jax.random.key(0), dino_extractor=ext, run_opt=False))
+        assert multis() == {(1, 1)}
+        # reuse the cached signature several times (the buggy accounting
+        # incremented the budget on every reuse)
+        for s in range(3):
+            drv.fetch_frames(drv.dispatch_frame(
+                rgb, depth, two, drv.REAL275_INTRINSICS, models, pipe,
+                jax.random.key(1 + s), dino_extractor=ext, run_opt=False))
+        assert multis() == {(1, 1)}
+        # a novel multi signature must still fit under cap=2
+        three = [("can", m0), ("can", m2), ("mug", m1)]  # signature (2, 1)
+        out = drv.fetch_frames(drv.dispatch_frame(
+            rgb, depth, three, drv.REAL275_INTRINSICS, models, pipe,
+            jax.random.key(9), dino_extractor=ext, run_opt=False))
+        assert multis() == {(1, 1), (2, 1)}
+        assert len(out) == 3
+
     def test_pack_vit_chunks(self):
         from cppf2_tpu.eval.driver import _pack_vit_chunks
 
