@@ -713,7 +713,16 @@ def sample_crop_descriptors(
     interp_impl: str = "gather",
 ) -> jax.Array:
     """The cheap half of `bbox_crop_descriptors`: bilinear token sampling of a
-    precomputed crop grid at cloud pixels (reference dataset.py:40-59)."""
+    precomputed crop grid at cloud pixels (reference dataset.py:40-59).
+
+    NOTE: do not try to shrink this by projecting the grid through the DINO
+    branch's desc_transform (1024->256) BEFORE sampling: interpolation is
+    followed by per-point L2 normalization (reference dataset.py:59 —
+    checkpoints are trained on unit descriptors), which does not commute
+    with a linear map; border-overflow taps also zero-pad (attenuating the
+    would-be bias). An exact projected variant needs per-point ||interp||
+    reconstructed from neighbor-Gram channel maps — implement that only if
+    a profile shows this sampling stage is actually hot."""
     kp = pixel_yx[:, ::-1].astype(jnp.float32)      # (n, 2) as (x, y)
     kp_local = (kp - txys[None, :2]) / txys[2]
     return interpolate_features(grid, kp_local, (out_size, out_size), stride,
