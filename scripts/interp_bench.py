@@ -41,7 +41,15 @@ def main():
     ap.add_argument("--stride", type=int, default=8)
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke testing)")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="micro stages only — skip the two ViT-L forwards")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     stride, n, crop = args.stride, args.n, args.crop
 
     rng = np.random.default_rng(0)
@@ -98,6 +106,8 @@ def main():
         print(f"interpolate_features[{impl}] ({n} x {gh}x{gw}x1024): {ms:.2f} ms")
 
     # --- full visual frontend (reference: eval.py:203-205) --------------
+    if args.skip_full:
+        return
     ext = DinoFeatureExtractor(
         cfg=dataclasses.replace(VIT_L14, attn_impl="pallas"))
     ext.init_random(hw=(crop, crop))
