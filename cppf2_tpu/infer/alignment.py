@@ -38,10 +38,16 @@ def align_pose(
     rotation: jax.Array,          # (3, 3) initial rotation estimate
     translation: jax.Array,       # (3,) initial translation estimate
     up_sym: bool,
+    up_axis: int = 1,             # canonical up coordinate (CategoryConfig.up_axis_index)
     steps: int = 100,
     lr: float = 1e-2,
 ) -> AlignResult:
-    """Refine (R, T) by minimizing |canon(pc)[pairs] - pred_pairs_scaled|."""
+    """Refine (R, T) by minimizing |canon(pc)[pairs] - pred_pairs_scaled|.
+
+    Under `up_sym` only the canonical `up_axis` coordinate is rotation-
+    invariant, so the loss restricts to it (eval.py:333-334 hardcodes y —
+    correct for all NOCS categories; `up_axis` keeps custom categories with
+    a different canonical up honest)."""
 
     w = (pair_weight > 0).astype(points.dtype)
     w_pairs = w[:, None, None]
@@ -57,7 +63,7 @@ def align_pose(
         diff = jnp.abs(canon - pred_pairs_scaled)
         if up_sym:
             # only the canonical up coordinate is well-defined under symmetry
-            per = diff[..., 1] * w_pairs[..., 0]
+            per = diff[..., up_axis] * w_pairs[..., 0]
             return jnp.sum(per) / (denom * 2.0)
         per = diff * w_pairs
         return jnp.sum(per) / (denom * 6.0)

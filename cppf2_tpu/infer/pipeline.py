@@ -33,6 +33,7 @@ from cppf2_tpu.config import CategoryConfig, PipelineConfig
 from cppf2_tpu.core.geometry import fibonacci_sphere
 from cppf2_tpu.core.pairs import pair_targets
 from cppf2_tpu.infer.alignment import align_pose
+from cppf2_tpu.ops.sampling import masked_tuple_choice
 from cppf2_tpu.ops.voting import (
     backvote_filter,
     sphere_vote_cone,
@@ -205,7 +206,8 @@ def _pose_from_preds(
     if run_opt:
         ar = align_pose(
             points, kept_pairs, kept_w, pred_pairs_scaled[ki],
-            r_est, t_est, cat.up_sym, pipe.opt_steps, pipe.opt_lr,
+            r_est, t_est, cat.up_sym, cat.up_axis_index,
+            pipe.opt_steps, pipe.opt_lr,
         )
         r_est, t_est = ar.rotation, ar.translation
 
@@ -227,16 +229,18 @@ def _pose_from_preds(
 
 
 def _recon_loss_rt(
-    points, rotation, translation, yard: _BranchPose, scale_norm, up_sym: bool
+    points, rotation, translation, yard: _BranchPose, scale_norm, up_sym: bool,
+    up_axis: int = 1,
 ) -> jax.Array:
     """Clipped canonical reconstruction loss of an (R, T) hypothesis measured
     against one branch's kept pairs + canonical predictions (the 'yardstick');
     eval.py:358-363 with the pose and the yardstick decoupled so poses can be
-    cross-scored for ensemble arbitration."""
+    cross-scored for ensemble arbitration. Under `up_sym` only the canonical
+    `up_axis` coordinate is rotation-invariant (the reference hardcodes y)."""
     canon = (points - translation) @ rotation / jnp.maximum(scale_norm, _EPS)
     diff = jnp.abs(canon[yard.kept_pairs] - yard.pred_pairs_kept)
     if up_sym:
-        diff = diff[..., 1:2]
+        diff = diff[..., up_axis:up_axis + 1]
     diff = jnp.clip(diff, 0.0, 0.1)
     wmask = yard.kept_mask.astype(points.dtype)[:, None, None]
     return jnp.sum(diff * wmask) / jnp.maximum(
@@ -245,17 +249,18 @@ def _recon_loss_rt(
 
 
 def _recon_loss(
-    points, pose: _BranchPose, scale_norm, up_sym: bool
+    points, pose: _BranchPose, scale_norm, up_sym: bool, up_axis: int = 1
 ) -> jax.Array:
     """Clipped canonical reconstruction loss (eval.py:358-363): the pose
     measured against its own branch's predictions."""
     return _recon_loss_rt(
-        points, pose.rotation, pose.translation, pose, scale_norm, up_sym
+        points, pose.rotation, pose.translation, pose, scale_norm, up_sym,
+        up_axis,
     )
 
 
 def _arbitrate(points, poses: _BranchPose, scale_norm, up_sym: bool,
-               arbiter: str, margin: float):
+               arbiter: str, margin: float, up_axis: int = 1):
     """Pick the winning branch among the vmapped poses.
 
     Returns (pick, reported_loss). `arbiter`:
@@ -276,14 +281,15 @@ def _arbitrate(points, poses: _BranchPose, scale_norm, up_sym: bool,
                          "(expected 'recon', 'cross' or 'margin')")
     n_branch = poses.rotation.shape[0]
     own = jax.vmap(
-        functools.partial(_recon_loss, up_sym=up_sym), in_axes=(None, 0, None)
+        functools.partial(_recon_loss, up_sym=up_sym, up_axis=up_axis),
+        in_axes=(None, 0, None),
     )(points, poses, scale_norm)
     if arbiter == "cross" and n_branch > 1:
         # L[i, j]: pose i measured on yardstick j
         def pose_row(rot, tr):
             return jax.vmap(
                 lambda yard: _recon_loss_rt(
-                    points, rot, tr, yard, scale_norm, up_sym
+                    points, rot, tr, yard, scale_norm, up_sym, up_axis
                 )
             )(poses)
 
@@ -328,7 +334,8 @@ def estimate_pose_branch(
     scale_norm = (
         jnp.linalg.norm(scale) if override_scale_norm is None else override_scale_norm
     )
-    loss = _recon_loss(points, pose, scale_norm, cat.up_sym)
+    loss = _recon_loss(points, pose, scale_norm, cat.up_sym,
+                       cat.up_axis_index)
     return PoseEstimate(pose.rotation, pose.translation, scale, scale_norm, loss)
 
 
@@ -364,8 +371,7 @@ def estimate_pose_branch_restarts(
 
     def one(k):
         k1, k2 = jax.random.split(k)
-        u = jax.random.uniform(k1, (pipe.num_pairs, cat.tuple_size))
-        ti = jnp.floor(u * count).astype(jnp.int32)
+        ti = masked_tuple_choice(k1, count, pipe.num_pairs, cat.tuple_size)
         return estimate_pose_branch(
             apply_fn, params, points, point_valid, count, ti, k2,
             cat, pipe, sphere_pts, run_opt=run_opt,
@@ -419,8 +425,8 @@ def estimate_pose_ensemble(
     assert use_visual or use_geo, "at least one branch must be enabled"
     sphere_pts = jnp.asarray(fibonacci_sphere(pipe.sphere_samples))
     k_tuple, k_dino, k_shot = jax.random.split(key, 3)
-    u = jax.random.uniform(k_tuple, (pipe.num_pairs, cat.tuple_size))
-    tuple_idx = jnp.floor(u * count).astype(jnp.int32)
+    tuple_idx = masked_tuple_choice(
+        k_tuple, count, pipe.num_pairs, cat.tuple_size)
 
     # only the *enabled* branches' MLPs run (use_visual/use_geo are static
     # under jit): a disabled branch contributes no MXU work. The visual
@@ -447,7 +453,7 @@ def estimate_pose_ensemble(
     scale_norm = jnp.linalg.norm(scale)
     pick, loss = _arbitrate(
         points, poses, scale_norm, cat.up_sym, pipe.arbiter,
-        pipe.arbiter_margin,
+        pipe.arbiter_margin, cat.up_axis_index,
     )
     # report the branch id in the fixed [visual=0, geo=1] convention even
     # when only the geo branch ran

@@ -46,7 +46,14 @@ def grid_normals(points: np.ndarray, valid: np.ndarray,
 
     pts = points.astype(np.float32)
     if smooth > 1:
-        pts = cv2.GaussianBlur(pts, (smooth, smooth), 0)
+        # normalized convolution: blur valid points only and renormalize by
+        # the blurred validity, so zero-parked invalid pixels never bleed
+        # toward the origin through the blur (a plain blur biases normals of
+        # valid pixels up to smooth//2 px beyond the erode guard below)
+        v = valid.astype(np.float32)
+        num = cv2.GaussianBlur(pts * v[..., None], (smooth, smooth), 0)
+        den = cv2.GaussianBlur(v, (smooth, smooth), 0)
+        pts = num / np.maximum(den, 1e-6)[..., None]
     b = baseline
     dx = np.zeros_like(pts)
     dy = np.zeros_like(pts)
@@ -63,9 +70,12 @@ def grid_normals(points: np.ndarray, valid: np.ndarray,
 
 def depth_edges(depth_m: np.ndarray, valid: np.ndarray,
                 jump_abs: float = 0.012, jump_rel: float = 0.02) -> np.ndarray:
-    """Depth-discontinuity pixels: the local min->max depth jump in a 3x3
-    window exceeds max(jump_abs, jump_rel * z). Invalid neighbors count as
-    jumps, so object silhouettes against missing depth also break."""
+    """Depth-discontinuity pixels: the local min->max depth jump over the
+    VALID pixels of a 3x3 window exceeds max(jump_abs, jump_rel * z).
+    Invalid neighbors are excluded from the jump (the sentinels park them
+    where dilate ignores them) — a silhouette against missing depth needs
+    no edge pixel because the invalid gap itself already separates the
+    connected components."""
     import cv2
 
     k = np.ones((3, 3), np.uint8)
@@ -75,8 +85,10 @@ def depth_edges(depth_m: np.ndarray, valid: np.ndarray,
     dmin = -cv2.dilate(-small, k)
     jump = dmax - dmin
     thresh = np.maximum(jump_abs, jump_rel * depth_m)
-    # a window touching an invalid pixel has dmax/dmin poisoned by the
-    # sentinels -> jump is huge -> correctly marked as an edge
+    # the sentinel signs make dilate (a local max) IGNORE invalid pixels:
+    # -1e6 never wins the max, +1e6 never wins the min — jump measures
+    # valid neighbors only (an all-invalid window would read -2e6 and
+    # correctly fail the threshold under the & valid gate)
     return valid & (jump > thresh)
 
 

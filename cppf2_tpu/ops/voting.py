@@ -233,9 +233,11 @@ def sphere_vote(
 
     counts[s] = sum_v weights[v] * [dirs_v . sphere_s > cos(2 * tol)].
 
-    The reference chunks a dense matmul at bmm_size=100000 (eval.py:43-45); XLA
-    tiles the single matmul for us. Weights fold the reference's 1/wt
-    importance normalization.
+    Like the reference's bmm_size=100000 chunking (eval.py:43-45), the votes
+    stream through a lax.scan in 131072-row chunks: one chunk's (chunk, S)
+    thresholded-hits matrix lives at a time instead of the full (V, S)
+    tensor (V can be num_pairs * sphere candidates — HBM-sized). Weights
+    fold the reference's 1/wt importance normalization.
     """
     thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
     v = dirs.shape[0]

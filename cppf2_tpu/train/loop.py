@@ -23,6 +23,7 @@ import optax
 
 from cppf2_tpu.config import TrainConfig
 from cppf2_tpu.core.binning import real2prob
+from cppf2_tpu.ops.sampling import masked_tuple_choice
 
 _KL_EPS = 1e-12
 
@@ -82,14 +83,10 @@ def tuple_loss(
 
 
 def _sample_tuples(key, count: jax.Array, num_tuples: int, tuple_size: int) -> jax.Array:
-    """Uniform tuple indices over the valid prefix [0, count) of a padded cloud.
-
-    voxel_downsample packs valid points first, so uniform ints below `count`
-    index only real points (the reference samples host-side randint over the
-    whole cloud, train_shot.py:88).
-    """
-    u = jax.random.uniform(key, (num_tuples, tuple_size))
-    return jnp.floor(u * count).astype(jnp.int32)
+    """Uniform tuple indices over the valid prefix (the shared
+    `ops/sampling.py::masked_tuple_choice` convention — training and
+    inference MUST sample identically, train_shot.py:88 / eval.py:207)."""
+    return masked_tuple_choice(key, count, num_tuples, tuple_size)
 
 
 def make_train_step(
