@@ -47,7 +47,6 @@ def voxel_downsample(
         Downsampled(indices, valid, count).
     """
     n = points.shape[0]
-    big = jnp.where(valid[:, None], points, jnp.inf)
     origin = jnp.min(jnp.where(valid[:, None], points, jnp.inf), axis=0)
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
     cell = jnp.clip(jnp.floor((points - origin) / res).astype(jnp.int32), 0, _GRID - 1)

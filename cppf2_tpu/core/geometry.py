@@ -149,17 +149,32 @@ def quat_to_matrix(q: jax.Array) -> jax.Array:
 
 
 def matrix_to_quat(m: jax.Array) -> jax.Array:
-    """(x, y, z, w) quaternion from a rotation matrix (branchless Shepperd)."""
+    """(x, y, z, w) quaternion from a rotation matrix (branchless Shepperd).
+
+    All four pivot constructions are evaluated and the numerically largest
+    diagonal pivot selects the row: deriving component signs only from the
+    antisymmetric part (4*qw*q_i) fails at 180-degree rotations where qw=0
+    and every antisymmetric entry vanishes (the old bug: a flip about
+    (1,-1,0) came back as a flip about (1,+1,0))."""
     tr = m[0, 0] + m[1, 1] + m[2, 2]
-    # Four candidate constructions; pick the numerically largest pivot.
-    qw = jnp.sqrt(jnp.maximum(0.0, 1 + tr)) / 2
-    qx = jnp.sqrt(jnp.maximum(0.0, 1 + m[0, 0] - m[1, 1] - m[2, 2])) / 2
-    qy = jnp.sqrt(jnp.maximum(0.0, 1 - m[0, 0] + m[1, 1] - m[2, 2])) / 2
-    qz = jnp.sqrt(jnp.maximum(0.0, 1 - m[0, 0] - m[1, 1] + m[2, 2])) / 2
-    qx = qx * jnp.sign(jnp.where(m[2, 1] - m[1, 2] == 0, 1.0, m[2, 1] - m[1, 2]))
-    qy = qy * jnp.sign(jnp.where(m[0, 2] - m[2, 0] == 0, 1.0, m[0, 2] - m[2, 0]))
-    qz = qz * jnp.sign(jnp.where(m[1, 0] - m[0, 1] == 0, 1.0, m[1, 0] - m[0, 1]))
-    q = jnp.stack([qx, qy, qz, qw])
+    pivots_sq = jnp.stack([
+        1 + tr,                              # 4*qw^2
+        1 + m[0, 0] - m[1, 1] - m[2, 2],     # 4*qx^2
+        1 - m[0, 0] + m[1, 1] - m[2, 2],     # 4*qy^2
+        1 - m[0, 0] - m[1, 1] + m[2, 2],     # 4*qz^2
+    ])
+    s = jnp.sqrt(jnp.maximum(pivots_sq, 1e-12))  # 2*|pivot|
+    d = 1.0 / (2.0 * s)
+    # antisymmetric (4*qw*qi) and symmetric (4*qi*qj) off-diagonal sums
+    ax, ay, az = m[2, 1] - m[1, 2], m[0, 2] - m[2, 0], m[1, 0] - m[0, 1]
+    sxy, sxz, syz = m[0, 1] + m[1, 0], m[0, 2] + m[2, 0], m[1, 2] + m[2, 1]
+    cands = jnp.stack([                      # rows: pivot w, x, y, z
+        jnp.stack([ax * d[0], ay * d[0], az * d[0], s[0] / 2]),
+        jnp.stack([s[1] / 2, sxy * d[1], sxz * d[1], ax * d[1]]),
+        jnp.stack([sxy * d[2], s[2] / 2, syz * d[2], ay * d[2]]),
+        jnp.stack([sxz * d[3], syz * d[3], s[3] / 2, az * d[3]]),
+    ])
+    q = cands[jnp.argmax(pivots_sq)]
     return q / (jnp.linalg.norm(q) + 1e-12)
 
 

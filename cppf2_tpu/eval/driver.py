@@ -299,10 +299,12 @@ def _finalize_instance(res: float, fetched):
     if np.asarray(extent).max() / res > 1000:
         # degenerate-extent guard (eval.py:200)
         return None
-    rt = np.eye(4)
-    rt[:3, :3] = np.asarray(rot) * float(snorm)
-    rt[:3, 3] = np.asarray(trans)
-    scales = np.asarray(scale) / max(float(snorm), 1e-9)
+    # shared assembly: the SAME snorm clamping as pose_errors/parallel_eval
+    # (an unclamped snorm=0 would write a det-0 rotation block that poisons
+    # the native IoU kernel with NaNs)
+    from cppf2_tpu.eval.pose_errors import _assemble_rt
+
+    rt, scales = _assemble_rt(rot, trans, scale, snorm)
     return rt, scales, float(loss)
 
 
@@ -718,8 +720,16 @@ def evaluate_real275(
         image_path = os.path.join(
             image_root, os.path.relpath(res["image_path"], "data/real/test")
         )
-        rgb = cv2.imread(image_path + "_color.png")[:, :, ::-1]
-        depth = cv2.imread(image_path + "_depth.png", -1).astype(np.float32) / 1000.0
+        bgr = cv2.imread(image_path + "_color.png")
+        raw_depth = cv2.imread(image_path + "_depth.png", -1)
+        if bgr is None or raw_depth is None:
+            # fail fast with the offending path — an unchecked None would
+            # TypeError hours into a full run with no hint which file broke
+            raise FileNotFoundError(
+                f"unreadable REAL275 frame: {image_path}_color.png / _depth.png"
+            )
+        rgb = bgr[:, :, ::-1]
+        depth = raw_depth.astype(np.float32) / 1000.0
 
         n_inst = len(res["pred_class_ids"])
         res["pred_RTs"] = np.stack([np.eye(4) for _ in range(n_inst)])

@@ -239,6 +239,16 @@ def pairwise_iou_matrix(
             rts = np.ascontiguousarray(rts, np.float64).copy()
             scales = np.ascontiguousarray(scales, np.float64).copy()
             det = np.linalg.det(rts[:, :3, :3])
+            # degenerate rotation blocks (det ~ 0, e.g. a zeroed estimate)
+            # must not feed inf/NaN into the native kernel — the Python
+            # fallback returns IoU 0.0 for these via its try/except; park
+            # them on an identity so the kernel yields a finite (and, with
+            # zeroed scales, zero-overlap) box instead of poisoning the AP
+            bad = ~np.isfinite(det) | (np.abs(det) < 1e-12)
+            det = np.where(bad, 1.0, det)
+            rts[:, :3, :3] = np.where(
+                bad[:, None, None], np.eye(3), rts[:, :3, :3])
+            scales = np.where(bad[:, None], 0.0, scales)
             rts[:, :3, :3] /= np.cbrt(det)[:, None, None]
             return rts, scales
 

@@ -34,9 +34,16 @@ def _match_greedy(overlaps: np.ndarray, pred_cls: np.ndarray, gt_cls: np.ndarray
     num_pred, num_gt = overlaps.shape
     pred_matches = -np.ones((num_t, num_pred))
     gt_matches = -np.ones((num_t, num_gt))
+    # the per-prediction gt ordering is threshold-invariant: sort once, not
+    # once per (threshold, pred) — 101 IoU thresholds would redo it 101x
+    orders = [
+        np.argsort(overlaps[i])[::-1] if larger_is_better
+        else np.argsort(overlaps[i])
+        for i in range(num_pred)
+    ]
     for s, thr in enumerate(thresholds):
         for i in range(num_pred):
-            order = np.argsort(overlaps[i])[::-1] if larger_is_better else np.argsort(overlaps[i])
+            order = orders[i]
             for j in order:
                 if gt_matches[s, j] > -1:
                     continue
@@ -63,10 +70,14 @@ def _match_pose(overlaps: np.ndarray, pred_cls, gt_cls, degree_list, shift_list)
     gt_matches = -np.ones((nd, ns, num_gt))
     if num_pred == 0 or num_gt == 0:
         return gt_matches, pred_matches
+    # threshold-invariant per-prediction ordering, hoisted out of the
+    # (degree, shift) grid (the reference re-sorts per cell, util.py:1907)
+    orders = [np.argsort(np.sum(overlaps[i], axis=-1))
+              for i in range(num_pred)]
     for d, dt in enumerate(degree_list):
         for s, st in enumerate(shift_list):
             for i in range(num_pred):
-                order = np.argsort(np.sum(overlaps[i], axis=-1))
+                order = orders[i]
                 for j in order:
                     if gt_matches[d, s, j] > -1 or pred_cls[i] != gt_cls[j]:
                         continue
@@ -250,8 +261,12 @@ def compute_degree_cm_map(
         for d in range(len(degree_list)):
             for s in range(len(shift_list)):
                 pose_aps[cls_id, d, s] = _voc_ap(ppm[d, s], pps[d, s], pgm[d, s])
-    iou_aps[-1] = np.mean(iou_aps[1:-1], axis=0)
-    pose_aps[-1] = np.mean(pose_aps[1:-1], axis=0)
+    # nanmean: a class absent from the evaluated subset (zero gts AND zero
+    # preds, e.g. under --limit) scores NaN per _voc_ap — it must drop out
+    # of the mean rather than wipe every headline mean to NaN
+    with np.errstate(invalid="ignore"):
+        iou_aps[-1] = np.nanmean(iou_aps[1:-1], axis=0)
+        pose_aps[-1] = np.nanmean(pose_aps[1:-1], axis=0)
 
     if verbose:
         names = list(synset_names)

@@ -33,6 +33,7 @@ from cppf2_tpu.eval.driver import (
     load_category_models,
 )
 from cppf2_tpu.eval.nocs_map import compute_degree_cm_map
+from cppf2_tpu.eval.pose_errors import _assemble_rt
 from cppf2_tpu.infer.frontend import auto_crop, preprocess_frame
 from cppf2_tpu.infer.pipeline import estimate_pose_ensemble
 from cppf2_tpu.parallel import make_mesh
@@ -58,9 +59,8 @@ def make_batched_instance_fn(
     cat = get_category(cat_name)
     k_mat = jnp.asarray(intrinsics.astype(np.float32))
     dino_m, shot_m = models.dino_model, models.shot_model
-    dino_params, shot_params = models.dino_params, models.shot_params
 
-    def one(depth, mask, key):
+    def one(dino_params, shot_params, depth, mask, key):
         k1, k2 = jax.random.split(key)
         fi = preprocess_frame(
             depth, mask, k_mat, k1,
@@ -93,12 +93,23 @@ def make_batched_instance_fn(
     # across slices (no cross-slice collectives exist in this graph) and the
     # per-instance program replicates over the slice's ICI axis
     data = NamedSharding(mesh, P(axis))
-    batched = jax.vmap(one)
-    return jax.jit(
+    repl = NamedSharding(mesh, P())
+    # param trees enter as jit ARGUMENTS (replicated), never closures — a
+    # closed-over flax tree is inlined into the serialized module as literal
+    # constants and the relay's compile endpoint rejects the request
+    # (CLAUDE.md; the serial driver's pose_fn does the same)
+    batched = jax.vmap(one, in_axes=(None, None, 0, 0, 0))
+    jitted = jax.jit(
         batched,
-        in_shardings=(data, data, data),
+        in_shardings=(repl, repl, data, data, data),
         out_shardings=data,
     )
+
+    def fn(depths, masks, keys):
+        return jitted(models.dino_params, models.shot_params,
+                      depths, masks, keys)
+
+    return fn
 
 
 def evaluate_real275_parallel(
@@ -179,10 +190,11 @@ def evaluate_real275_parallel(
 
             def _depth(idx):
                 if idx not in memo:
-                    memo[idx] = (
-                        cv2.imread(depth_paths[idx], -1).astype(np.float32)
-                        / 1000.0
-                    )
+                    raw = cv2.imread(depth_paths[idx], -1)
+                    if raw is None:
+                        raise FileNotFoundError(
+                            f"unreadable depth image: {depth_paths[idx]}")
+                    memo[idx] = raw.astype(np.float32) / 1000.0
                 return memo[idx]
 
             depths = np.stack(
@@ -190,21 +202,20 @@ def evaluate_real275_parallel(
             )
             masks = np.stack([c[2] for c in chunk] + [chunk[-1][2]] * pad)
             keys = jnp.stack([c[3] for c in chunk] + [chunk[-1][3]] * pad)
-            rot, trans, scale, snorm, loss, count, ext = jax.tree.map(
-                np.asarray,
-                fn(jnp.asarray(depths), jnp.asarray(masks), keys),
+            # ONE host sync for the whole flushed chunk (each fetch costs
+            # ~80 ms through the relay — CLAUDE.md; per-leaf np.asarray
+            # would pay it 7x)
+            rot, trans, scale, snorm, loss, count, ext = jax.device_get(
+                fn(jnp.asarray(depths), jnp.asarray(masks), keys)
             )
             for j, (img_idx, inst_idx, _, _) in enumerate(chunk):
                 # degenerate guards, matching estimate_instance
                 if count[j] < 32 or ext[j] / CATEGORIES[cat_name].res > 1000:
                     continue
-                rt = np.eye(4)
-                rt[:3, :3] = rot[j] * max(float(snorm[j]), 1e-9)
-                rt[:3, 3] = trans[j]
+                # shared RT/scales assembly (same snorm clamping everywhere)
+                rt, scales = _assemble_rt(rot[j], trans[j], scale[j], snorm[j])
                 results[img_idx]["pred_RTs"][inst_idx] = rt
-                results[img_idx]["pred_scales"][inst_idx] = scale[j] / max(
-                    float(snorm[j]), 1e-9
-                )
+                results[img_idx]["pred_scales"][inst_idx] = scales
 
     # pass 3: dump pkls + score
     os.makedirs(out_dir, exist_ok=True)

@@ -22,9 +22,14 @@ def pose_error_degree_cm(
     class_name: str,
     handle_visibility: int = 1,
 ) -> np.ndarray:
-    """Returns np.array([theta_degrees, shift_cm]); [-1] sentinel if either is None."""
+    """Returns np.array([theta_degrees, shift_cm]); [-1, -1] if either RT is
+    None — the shape-(2,) equivalent of the reference's scalar -1 broadcast
+    (util.py:616-617 assigned into overlaps[i, j, :]). NOTE the shared
+    hazard: a [-1, -1] row passes every (degree, cm) threshold, so callers
+    must not let a None RT reach the match grid (the drivers pre-fill
+    pred_RTs with eye(4), so none does)."""
     if rt1 is None or rt2 is None:
-        return np.array([-1.0])
+        return np.array([-1.0, -1.0])
 
     rt1 = np.asarray(rt1, np.float64)
     rt2 = np.asarray(rt2, np.float64)

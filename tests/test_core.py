@@ -117,6 +117,22 @@ class TestRotations:
             R2 = np.asarray(quat_to_matrix(q))
             np.testing.assert_allclose(R2, R, atol=1e-5)
 
+    def test_quat_matrix_roundtrip_180deg(self):
+        # qw = 0 regime: the antisymmetric part vanishes, so component
+        # signs must come from the largest-pivot row (regression: a flip
+        # about (1,-1,0) used to come back as a flip about (1,+1,0))
+        from scipy.spatial.transform import Rotation as SR
+
+        for ax in [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, -1, 0), (1, 1, 0),
+                   (0, 1, -1), (1, -1, 1), (2, -1, 3)]:
+            a = np.asarray(ax, np.float64)
+            a /= np.linalg.norm(a)
+            for ang in (np.pi, np.pi - 1e-4):
+                R = SR.from_rotvec(ang * a).as_matrix()
+                q = matrix_to_quat(jnp.asarray(R, dtype=jnp.float32))
+                R2 = np.asarray(quat_to_matrix(q))
+                np.testing.assert_allclose(R2, R, atol=1e-5)
+
     def test_so3_exp_orthonormal(self, rng):
         w = rng.normal(size=3).astype(np.float32)
         R = np.asarray(so3_exp(jnp.asarray(w)))
