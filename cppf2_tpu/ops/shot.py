@@ -101,11 +101,42 @@ def _soft_bins_centers_int(u: jax.Array, n_bins: int) -> jax.Array:
     return one0 * (1.0 - frac)[..., None] + one1 * frac[..., None]
 
 
+def _lrf_spatial_weights(points, neighbors, radius: float):
+    """LRF frames + the 32-volume (8 azimuth x 2 elevation x 2 radial) soft
+    spatial-binning weights shared by the shape (SHOT-352) and color
+    (CSHOT-992) halves — PCL computes these once per point too
+    (shot.cpp:45-161 operates on a single LRF/volume assignment).
+
+    Returns:
+        (frames (N, 3, 3), w_spatial (N, K, 32) WITHOUT any validity
+        weighting — callers apply their own contribution mask).
+    """
+    frames = shot_lrf(points, neighbors, radius)          # (N, 3, 3) rows x,y,z
+    local = jnp.einsum("nab,nkb->nka", frames, neighbors.rel)  # (N, K, 3)
+    d = neighbors.dist
+    safe_d = jnp.maximum(d, _EPS)
+
+    azimuth = jnp.arctan2(local[..., 1], local[..., 0])        # (-pi, pi]
+    a_cont = (azimuth + jnp.pi) / (2.0 * jnp.pi) * N_AZIMUTH   # [0, 8]
+    cos_incl = jnp.clip(local[..., 2] / safe_d, -1.0, 1.0)
+    e_cont = 1.0 - cos_incl                                    # [0, 2]; boundary at equator
+    r_cont = jnp.clip(d / (radius / 2.0), 0.0, 2.0)            # [0, 2]; boundary at r/2
+
+    A = _soft_bins_centers_half(a_cont, N_AZIMUTH, circular=True)     # (N, K, 8)
+    E = _soft_bins_centers_half(e_cont, N_ELEVATION, circular=False)  # (N, K, 2)
+    R = _soft_bins_centers_half(r_cont, N_RADIAL, circular=False)     # (N, K, 2)
+    w_spatial = jnp.einsum("nka,nke,nkr->nkaer", A, E, R).reshape(
+        A.shape[0], A.shape[1], N_AZIMUTH * N_ELEVATION * N_RADIAL
+    )
+    return frames, w_spatial
+
+
 def compute_shot(
     points: jax.Array,
     normals: jax.Array,
     neighbors: Neighbors,
     radius: float,
+    _lrf_spatial=None,
 ) -> jax.Array:
     """SHOT-352 descriptors for every point.
 
@@ -114,42 +145,30 @@ def compute_shot(
         neighbors: fixed-K neighborhood (self included; self is skipped here
             like PCL skips the zero-distance query point).
         radius: descriptor support radius.
+        _lrf_spatial: optional precomputed `_lrf_spatial_weights` result
+            (compute_cshot shares it across the shape/color halves).
     Returns:
         (N, 352) float32, L2-normalized per point (zero rows when empty).
     """
-    frames = shot_lrf(points, neighbors, radius)          # (N, 3, 3) rows x,y,z
-    rel = neighbors.rel
-    local = jnp.einsum("nab,nkb->nka", frames, rel)       # (N, K, 3) LRF coords
+    frames, w_spatial = (
+        _lrf_spatial if _lrf_spatial is not None
+        else _lrf_spatial_weights(points, neighbors, radius)
+    )
     d = neighbors.dist
     nb_normal = normals[neighbors.idx]
     has_normal = jnp.sum(nb_normal * nb_normal, axis=-1) > 0.5
     contrib = neighbors.valid & (d > _EPS) & has_normal
     cw = contrib.astype(points.dtype)
 
-    xl, yl, zl = local[..., 0], local[..., 1], local[..., 2]
-    safe_d = jnp.maximum(d, _EPS)
-
-    azimuth = jnp.arctan2(yl, xl)                              # (-pi, pi]
-    a_cont = (azimuth + jnp.pi) / (2.0 * jnp.pi) * N_AZIMUTH   # [0, 8]
-    cos_incl = jnp.clip(zl / safe_d, -1.0, 1.0)
-    e_cont = 1.0 - cos_incl                                    # [0, 2]; boundary at equator
-    r_cont = jnp.clip(d / (radius / 2.0), 0.0, 2.0)            # [0, 2]; boundary at r/2
-
     cosine = jnp.clip(
         jnp.sum(nb_normal * frames[:, None, 2, :], axis=-1), -1.0, 1.0
     )
     c_cont = (1.0 + cosine) * (N_COS_BINS - 1) / 2.0           # [0, 10]
+    C = _soft_bins_centers_int(c_cont, N_COS_BINS)             # (N, K, 11)
 
-    A = _soft_bins_centers_half(a_cont, N_AZIMUTH, circular=True)     # (N, K, 8)
-    E = _soft_bins_centers_half(e_cont, N_ELEVATION, circular=False)  # (N, K, 2)
-    R = _soft_bins_centers_half(r_cont, N_RADIAL, circular=False)     # (N, K, 2)
-    C = _soft_bins_centers_int(c_cont, N_COS_BINS)                    # (N, K, 11)
-
-    w_spatial = jnp.einsum("nka,nke,nkr->nkaer", A, E, R).reshape(
-        A.shape[0], A.shape[1], N_AZIMUTH * N_ELEVATION * N_RADIAL
-    )
-    w_spatial = w_spatial * cw[..., None]
-    desc = jnp.einsum("nkv,nkc->nvc", w_spatial, C).reshape(-1, SHOT_DIM)
+    desc = jnp.einsum(
+        "nkv,nkc->nvc", w_spatial * cw[..., None], C
+    ).reshape(-1, SHOT_DIM)
 
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     return jnp.where(norm > _EPS, desc / jnp.maximum(norm, _EPS), 0.0)
@@ -212,12 +231,15 @@ def compute_cshot(
     signature concatenated with a 32-volume x 31-bin histogram of the CIELAB
     color distance |lab_q - lab_p| / 3 between each neighbor and the point,
     L2-normalized jointly."""
-    shape_desc = compute_shot(points, normals, neighbors, radius)
+    lrf_spatial = _lrf_spatial_weights(points, neighbors, radius)
+    shape_desc = compute_shot(
+        points, normals, neighbors, radius, _lrf_spatial=lrf_spatial
+    )
+    _, w_spatial = lrf_spatial
 
-    frames = shot_lrf(points, neighbors, radius)
-    rel = neighbors.rel
-    local = jnp.einsum("nab,nkb->nka", frames, rel)
     d = neighbors.dist
+    # color half: all in-radius neighbors contribute (no normal requirement,
+    # unlike the shape half — PCL's color histogram does not touch normals)
     contrib = neighbors.valid & (d > _EPS)
     cw = contrib.astype(points.dtype)
 
@@ -228,24 +250,11 @@ def compute_cshot(
         jnp.abs(lab_n[neighbors.idx] - lab_n[:, None, :]), axis=-1
     ) / 3.0
     c_cont = jnp.clip(cdist, 0.0, 1.0) * (N_COLOR_BINS - 1)
-
-    xl, yl = local[..., 0], local[..., 1]
-    zl = local[..., 2]
-    safe_d = jnp.maximum(d, _EPS)
-    azimuth = jnp.arctan2(yl, xl)
-    a_cont = (azimuth + jnp.pi) / (2.0 * jnp.pi) * N_AZIMUTH
-    e_cont = 1.0 - jnp.clip(zl / safe_d, -1.0, 1.0)
-    r_cont = jnp.clip(d / (radius / 2.0), 0.0, 2.0)
-
-    A = _soft_bins_centers_half(a_cont, N_AZIMUTH, circular=True)
-    E = _soft_bins_centers_half(e_cont, N_ELEVATION, circular=False)
-    R = _soft_bins_centers_half(r_cont, N_RADIAL, circular=False)
     C = _soft_bins_centers_int(c_cont, N_COLOR_BINS)
 
-    w_spatial = jnp.einsum("nka,nke,nkr->nkaer", A, E, R).reshape(
-        A.shape[0], A.shape[1], N_AZIMUTH * N_ELEVATION * N_RADIAL
-    ) * cw[..., None]
-    cdesc = jnp.einsum("nkv,nkc->nvc", w_spatial, C).reshape(-1, 992)
+    cdesc = jnp.einsum(
+        "nkv,nkc->nvc", w_spatial * cw[..., None], C
+    ).reshape(-1, CSHOT_DIM - SHOT_DIM)
 
     full = jnp.concatenate([shape_desc, cdesc], axis=-1)
     norm = jnp.linalg.norm(full, axis=-1, keepdims=True)
