@@ -46,6 +46,28 @@ class TestCSHOT:
         # but the color part differs
         assert np.abs(a[:, 352:] - b[:, 352:]).max() > 0.01
 
+    def test_shape_half_parallel_to_standalone_shot(self, rng):
+        # the shared-LRF refactor must keep CSHOT's shape half exactly
+        # proportional to the standalone SHOT descriptor (they differ only
+        # by the joint L2 renormalization)
+        from cppf2_tpu.ops.neighbors import knn_radius_neighbors
+        from cppf2_tpu.ops.normals import estimate_normals
+        from cppf2_tpu.ops.shot import compute_cshot, compute_shot
+
+        pts = rng.normal(size=(256, 3)).astype(np.float32) * 0.05
+        colors = rng.uniform(0, 1, size=(256, 3)).astype(np.float32)
+        valid = jnp.ones(256, bool)
+        nbrs = knn_radius_neighbors(jnp.asarray(pts), valid, 0.02, 32)
+        normals = estimate_normals(jnp.asarray(pts), nbrs)
+        s = np.asarray(compute_shot(jnp.asarray(pts), normals, nbrs, 0.02))
+        c = np.asarray(
+            compute_cshot(jnp.asarray(pts), jnp.asarray(colors), normals, nbrs, 0.02)
+        )
+        half = c[:, :352]
+        mask = np.linalg.norm(half, axis=-1) > 1e-6
+        unit = half[mask] / np.linalg.norm(half[mask], axis=-1, keepdims=True)
+        np.testing.assert_allclose(unit, s[mask], atol=1e-5)
+
 
 class TestFPS:
     def test_spreads_points(self, rng):
