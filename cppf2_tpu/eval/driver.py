@@ -678,11 +678,33 @@ def evaluate_real275(
     models = load_category_models(ckpt_root)
     dino_extractor = None
     if dino_ckpt:
-        from cppf2_tpu.models.dinov2 import DinoFeatureExtractor, load_dinov2_params
+        from cppf2_tpu.models.dinov2 import (
+            DinoFeatureExtractor,
+            load_backbone,
+            load_dinov2_params,
+        )
 
-        params = load_dinov2_params(dino_ckpt)
-        if params is not None:
-            dino_extractor = DinoFeatureExtractor(params=params)
+        # a trained compact backbone (train/driver.py --branch dino-e2e)
+        # ships as {prefix}.msgpack + {prefix}.json; a reference DINOv2
+        # checkpoint is a torch .pth
+        prefix = (dino_ckpt[: -len(".msgpack")]
+                  if dino_ckpt.endswith(".msgpack") else dino_ckpt)
+        bb = None
+        if os.path.exists(prefix + ".json"):
+            from cppf2_tpu.ops.pallas_kernels import on_tpu
+
+            bb = load_backbone(
+                prefix, attn_impl="pallas" if on_tpu() else "hbm"
+            )
+        if bb is not None:
+            bb_params, bb_cfg, bb_stride, bb_out = bb
+            dino_extractor = DinoFeatureExtractor(
+                params=bb_params, cfg=bb_cfg, stride=bb_stride, out_size=bb_out
+            )
+        else:
+            params = load_dinov2_params(dino_ckpt)
+            if params is not None:
+                dino_extractor = DinoFeatureExtractor(params=params)
 
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.key(seed)

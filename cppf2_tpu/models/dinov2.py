@@ -786,6 +786,60 @@ def port_torch_state_dict(sd: Dict[str, Any], cfg: ViTConfig = VIT_L14):
     return {"params": params}
 
 
+def save_backbone(prefix: str, params, cfg: ViTConfig,
+                  stride: int = 8, out_size: int = 256) -> str:
+    """Persist a trained backbone as `{prefix}.msgpack` + `{prefix}.json`.
+
+    The JSON sidecar records the architecture + the descriptor convention
+    (stride / crop size) the backbone was trained with, so `load_backbone`
+    can rebuild a matching `DinoFeatureExtractor` with no template params.
+    Runtime knobs (compute dtype, attention impl) are NOT serialized — they
+    are environment choices made at load time.
+    """
+    import json as _json
+    import os as _os
+
+    from flax import serialization
+
+    d = _os.path.dirname(prefix)
+    if d:
+        _os.makedirs(d, exist_ok=True)
+    host = jax.tree.map(lambda x: np.asarray(x, np.float32), jax.device_get(params))
+    with open(prefix + ".msgpack", "wb") as f:
+        f.write(serialization.msgpack_serialize(host))
+    meta = {
+        "patch_size": cfg.patch_size, "embed_dim": cfg.embed_dim,
+        "depth": cfg.depth, "num_heads": cfg.num_heads,
+        "mlp_ratio": cfg.mlp_ratio, "layerscale_init": cfg.layerscale_init,
+        "pretrain_grid": cfg.pretrain_grid,
+        "stride": stride, "out_size": out_size,
+    }
+    with open(prefix + ".json", "w") as f:
+        _json.dump(meta, f, indent=1)
+    return prefix + ".msgpack"
+
+
+def load_backbone(prefix: str, **cfg_overrides):
+    """Load a `save_backbone` artifact. Returns (params, cfg, stride,
+    out_size) or None if absent. `cfg_overrides` set runtime fields
+    (e.g. attn_impl='pallas', compute_dtype='bfloat16')."""
+    import json as _json
+    import os as _os
+
+    from flax import serialization
+
+    if not _os.path.exists(prefix + ".msgpack"):
+        return None
+    with open(prefix + ".json") as f:
+        meta = _json.load(f)
+    stride = int(meta.pop("stride"))
+    out_size = int(meta.pop("out_size"))
+    cfg = ViTConfig(**meta, **cfg_overrides)
+    with open(prefix + ".msgpack", "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    return params, cfg, stride, out_size
+
+
 def load_dinov2_params(path: str, cfg: ViTConfig = VIT_L14):
     """Load a DINOv2 torch checkpoint from disk (gated: returns None if absent)."""
     import os

@@ -30,19 +30,14 @@ from cppf2_tpu.train.checkpoints import latest_checkpoint, restore_checkpoint, s
 from cppf2_tpu.train.loop import make_train_step
 
 
-def _frame_descriptors(frame, extractor, out_size: int = 256):
-    """DINOv2 descriptors for a synthetic frame's cloud points: crop the
-    lambertian render around the depth bbox and sample patch tokens at the
-    cloud pixels (the analog of dump_data's descriptor pass,
-    dataset.py:394-402).
+def _frame_crop_kp(frame, out_size: int = 256):
+    """Host-side crop + keypoint prep shared by the frozen-backbone
+    descriptor pass and end-to-end visual training: bbox-square rescale the
+    lambertian render to `out_size` (the reference's resize_crop convention,
+    dataset.py:322-337) and map cloud pixels into crop space.
 
-    Returns a DEVICE array — the (n, 1024) descriptors feed device-side
-    consumers (train step / pose graph); fetching them to host costs ~1-3 s
-    per frame through the relay (measured: the old np.asarray round-trip made
-    streaming-pool dino training 3x slower end-to-end). The host-side inputs
-    (gray, depth, pixels) come over in ONE batched fetch."""
+    Returns (crop (S, S, 3) f32 in [0,1], kp_local (N, 2) f32 (x, y))."""
     import jax
-    import jax.numpy as jnp
 
     from cppf2_tpu.infer.frontend import mask_bbox, resize_crop
 
@@ -55,7 +50,28 @@ def _frame_descriptors(frame, extractor, out_size: int = 256):
         np.linalg.inv(transform)
         @ np.concatenate([kp, np.ones((len(kp), 1))], -1).T
     ).T[:, :2]
-    return extractor(jnp.asarray(crop), jnp.asarray(kp_local.astype(np.float32)))
+    return crop.astype(np.float32), kp_local.astype(np.float32)
+
+
+def _frame_descriptors(frame, extractor, out_size: int = None):
+    """DINOv2 descriptors for a synthetic frame's cloud points: crop the
+    lambertian render around the depth bbox and sample patch tokens at the
+    cloud pixels (the analog of dump_data's descriptor pass,
+    dataset.py:394-402).
+
+    Returns a DEVICE array — the (n, 1024) descriptors feed device-side
+    consumers (train step / pose graph); fetching them to host costs ~1-3 s
+    per frame through the relay (measured: the old np.asarray round-trip made
+    streaming-pool dino training 3x slower end-to-end). The host-side inputs
+    (gray, depth, pixels) come over in ONE batched fetch."""
+    import jax.numpy as jnp
+
+    if out_size is None:
+        # follow the extractor's crop convention (256 for the shipped
+        # checkpoints; trained compact backbones record theirs in the sidecar)
+        out_size = getattr(extractor, "out_size", 256)
+    crop, kp_local = _frame_crop_kp(frame, out_size)
+    return extractor(jnp.asarray(crop), jnp.asarray(kp_local))
 
 
 def train_category(
@@ -73,6 +89,10 @@ def train_category(
     dino_extractor=None,
     records: str = None,
     progress=print,
+    vit_cfg=None,
+    e2e_stride: int = 8,
+    e2e_out_size: int = 256,
+    backbone_lr_scale: float = 1.0,
 ):
     """Train one branch for one category. Returns the final TrainState.
 
@@ -94,9 +114,27 @@ def train_category(
         cat, n_max=n_points, height=render_hw[0], width=render_hw[1],
         seed=cfg.seed,
     )
+    vit_model = None
     if branch == "shot":
         model = ShotBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins)
         feat_keys = ("shot", "normal")
+    elif branch == "dino-e2e":
+        # end-to-end visual: train a compact ViT backbone THROUGH the tuple
+        # loss (no frozen extractor; the reference has no such capability —
+        # its backbone is a frozen torch.hub DINOv2, dataset.py:62-80)
+        import dataclasses as _dc
+
+        from cppf2_tpu.models.dinov2 import VIT_S14, DinoViT
+
+        model = DinoBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins)
+        feat_keys = ("crop", "kp")
+        if vit_cfg is None:
+            # pos-embed grid = the training token grid: no bicubic resample
+            # inside every forward, and eval at the same crop/stride matches
+            vit_cfg = _dc.replace(
+                VIT_S14, pretrain_grid=e2e_out_size // e2e_stride
+            )
+        vit_model = DinoViT(vit_cfg)
     else:
         model = DinoBranch(tuple_size=cat.tuple_size, num_bins=cfg.num_bins)
         feat_keys = ("desc",)
@@ -123,6 +161,8 @@ def train_category(
         if branch == "shot":
             out["shot"] = np.asarray(f.shot)
             out["normal"] = np.asarray(f.normal)
+        elif branch == "dino-e2e":
+            out["crop"], out["kp"] = _frame_crop_kp(f, e2e_out_size)
         else:
             # this CLI pool batches via np.stack — fetch once here
             out["desc"] = np.asarray(_frame_descriptors(f, dino_extractor))
@@ -145,19 +185,36 @@ def train_category(
 
     i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
     f0 = pool[0]
-    if branch == "shot":
-        example = (jnp.asarray(f0["pc"]), jnp.asarray(f0["shot"]),
-                   jnp.asarray(f0["normal"]), i0)
+    if branch == "dino-e2e":
+        from cppf2_tpu.train.visual import (
+            create_visual_train_state,
+            make_visual_train_step,
+        )
+
+        state = create_visual_train_state(
+            vit_model, model, cfg, jax.random.key(cfg.seed),
+            out_size=e2e_out_size, stride=e2e_stride,
+        )
     else:
-        example = (jnp.asarray(f0["pc"]), jnp.asarray(f0["desc"]), i0)
-    state = create_train_state(model, example, cfg, jax.random.key(cfg.seed))
+        if branch == "shot":
+            example = (jnp.asarray(f0["pc"]), jnp.asarray(f0["shot"]),
+                       jnp.asarray(f0["normal"]), i0)
+        else:
+            example = (jnp.asarray(f0["pc"]), jnp.asarray(f0["desc"]), i0)
+        state = create_train_state(model, example, cfg, jax.random.key(cfg.seed))
     if out_dir and resume:
         last = latest_checkpoint(out_dir)
         if last:
             state = restore_checkpoint(last, state)
             progress(f"[train] resumed from {last} at step {int(state.step)}")
 
-    step_fn = make_train_step(model, cfg, branch=branch)
+    if branch == "dino-e2e":
+        step_fn = make_visual_train_step(
+            vit_model, model, cfg, out_size=e2e_out_size, stride=e2e_stride,
+            backbone_lr_scale=backbone_lr_scale,
+        )
+    else:
+        step_fn = make_train_step(model, cfg, branch=branch)
     state = replicate(state, mesh)
     log_path = os.path.join(out_dir, "metrics.jsonl") if out_dir else None
     if log_path:
@@ -192,13 +249,30 @@ def train_category(
         if out_dir and ((epoch + 1) % ckpt_every_epochs == 0 or epoch + 1 == cfg.max_epochs):
             path = save_checkpoint(out_dir, jax.device_get(state))
             progress(f"[train] saved {path}")
+    if branch == "dino-e2e" and out_dir:
+        # ship the pair of artifacts the eval side consumes: the tuple head
+        # as the standard branch params.msgpack (load_category_models) and
+        # the backbone as backbone.msgpack(+json) for DinoFeatureExtractor
+        from cppf2_tpu.models.dinov2 import save_backbone
+        from cppf2_tpu.train.checkpoints import export_params_msgpack
+
+        host = jax.device_get(state)
+        export_params_msgpack(
+            os.path.join(out_dir, "params.msgpack"), host.params["branch"]
+        )
+        bb = save_backbone(
+            os.path.join(out_dir, "backbone"), host.params["backbone"],
+            vit_cfg, stride=e2e_stride, out_size=e2e_out_size,
+        )
+        progress(f"[train] exported branch params.msgpack + {bb}")
     return state
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--category", required=True, choices=list(CATEGORIES))
-    ap.add_argument("--branch", default="shot", choices=["shot", "dino"])
+    ap.add_argument("--branch", default="shot",
+                    choices=["shot", "dino", "dino-e2e"])
     ap.add_argument("--epochs", type=int, default=101)
     ap.add_argument("--steps-per-epoch", type=int, default=200)
     ap.add_argument("--n-points", type=int, default=2048)

@@ -256,6 +256,11 @@ def main():
                          "arbiter=recon arbiter=cross arbiter=margin, or "
                          "yaw_sweep=False yaw_sweep=True). The first variant "
                          "feeds the headline summary and the mAP artifact set.")
+    ap.add_argument("--backbone", default=None,
+                    help="prefix of a trained compact backbone "
+                         "(train/driver.py --branch dino-e2e artifacts: "
+                         "{prefix}.msgpack + {prefix}.json) to use for the "
+                         "visual extractor instead of a random ViT-L")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (accuracy runs bit-for-bit "
                          "the same pipeline; useful when the TPU relay is "
@@ -270,8 +275,25 @@ def main():
     from synthetic_benchmark import train_one
     from cppf2_tpu.models.dinov2 import DinoFeatureExtractor
 
-    extractor = DinoFeatureExtractor(stride=args.stride)
-    extractor.init_random(hw=(256, 256), seed=args.seed)
+    if args.backbone:
+        # trained compact backbone (train/driver.py --branch dino-e2e):
+        # architecture + crop/stride convention come from the json sidecar
+        from cppf2_tpu.models.dinov2 import load_backbone
+        from cppf2_tpu.ops.pallas_kernels import on_tpu
+
+        bb = load_backbone(
+            args.backbone, attn_impl="pallas" if on_tpu() else "hbm"
+        )
+        assert bb is not None, f"no backbone at {args.backbone}.msgpack"
+        bb_params, bb_cfg, bb_stride, bb_out = bb
+        extractor = DinoFeatureExtractor(
+            params=bb_params, cfg=bb_cfg, stride=bb_stride, out_size=bb_out
+        )
+        print(f"[setup] trained backbone {args.backbone}: "
+              f"d={bb_cfg.embed_dim} depth={bb_cfg.depth} stride={bb_stride}")
+    else:
+        extractor = DinoFeatureExtractor(stride=args.stride)
+        extractor.init_random(hw=(256, 256), seed=args.seed)
     over = {k: v for k, v in (
         ("arbiter", args.arbiter), ("arbiter_margin", args.arbiter_margin),
     ) if v is not None}
@@ -301,8 +323,11 @@ def main():
         if args.eval_only:
             dino_model = DinoBranch(tuple_size=cat.tuple_size)
             i0 = jnp.zeros((8, cat.tuple_size), jnp.int32)
-            ref = dino_model.init(jax.random.key(1), jnp.zeros((16, 3)),
-                                  jnp.zeros((16, 1024)), i0)
+            # template desc dim follows the extractor (384 for a trained
+            # compact backbone, 1024 for ViT-L)
+            ref = dino_model.init(
+                jax.random.key(1), jnp.zeros((16, 3)),
+                jnp.zeros((16, extractor.cfg.embed_dim)), i0)
             dino_params = load_params_msgpack(
                 os.path.join(args.eval_only, "dino", cat_name,
                              "params.msgpack"), ref)
