@@ -281,6 +281,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--records", default=None,
                     help="replay a data/records.py container instead of rendering")
+    ap.add_argument("--backbone-lr-scale", type=float, default=1.0,
+                    help="dino-e2e only: scale backbone grads vs the head "
+                         "(<1 damps the from-scratch ViT if the MLP LR is "
+                         "too hot for it)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     cfg = TrainConfig(
@@ -289,7 +293,8 @@ def main():
     )
     out = args.out or f"ckpts/{args.branch}/{args.category}"
     train_category(args.category, args.branch, cfg, out, n_points=args.n_points,
-                   records=args.records)
+                   records=args.records,
+                   backbone_lr_scale=args.backbone_lr_scale)
 
 
 if __name__ == "__main__":
