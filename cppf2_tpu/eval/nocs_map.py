@@ -20,6 +20,7 @@ Pool(10), utils/util.py:2774; this sandbox has 1 core so default is inline).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -263,8 +264,11 @@ def compute_degree_cm_map(
                 pose_aps[cls_id, d, s] = _voc_ap(ppm[d, s], pps[d, s], pgm[d, s])
     # nanmean: a class absent from the evaluated subset (zero gts AND zero
     # preds, e.g. under --limit) scores NaN per _voc_ap — it must drop out
-    # of the mean rather than wipe every headline mean to NaN
-    with np.errstate(invalid="ignore"):
+    # of the mean rather than wipe every headline mean to NaN. An all-NaN
+    # column additionally raises "Mean of empty slice" through the warnings
+    # module (errstate only covers the FP flags), so silence that too.
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message="Mean of empty slice")
         iou_aps[-1] = np.nanmean(iou_aps[1:-1], axis=0)
         pose_aps[-1] = np.nanmean(pose_aps[1:-1], axis=0)
 

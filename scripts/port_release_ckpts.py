@@ -139,6 +139,41 @@ def dress_rehearsal(out_root: str, categories, dino_pth=None,
     return ok
 
 
+def preflight(release_root: str, dino_pth) -> list:
+    """Enumerate exactly which external assets are present/missing.
+
+    The standing order (README "External assets"): the moment upstream
+    weights appear mounted, run this script, then `evaluate_real275` on the
+    real REAL275 set. This check prints one line per expected asset so a
+    partial mount fails with a precise inventory instead of a glob miss.
+    """
+    from cppf2_tpu.config import CATEGORIES
+    from cppf2_tpu.eval.driver import _reference_ckpt_path
+
+    missing = []
+    for branch in ("shot", "dino"):
+        for cat_name in CATEGORIES:
+            src = _reference_ckpt_path(release_root, branch, cat_name)
+            tag = f"{branch}/{cat_name}"
+            if src is None:
+                missing.append(tag)
+                print(f"[preflight] MISSING {tag}: no last.ckpt under "
+                      f"{os.path.join(release_root, branch, cat_name + '-num_more-*')}"
+                      f" or {os.path.join(release_root, branch, cat_name)}")
+            else:
+                print(f"[preflight] found   {tag}: {src}")
+    if dino_pth is None:
+        missing.append("dinov2_vitl14.pth")
+        print("[preflight] MISSING dinov2_vitl14.pth: pass --dino-pth "
+              "(torch.hub facebookresearch/dinov2 dinov2_vitl14 weights)")
+    elif not os.path.exists(dino_pth):
+        missing.append(dino_pth)
+        print(f"[preflight] MISSING {dino_pth}: file does not exist")
+    else:
+        print(f"[preflight] found   DINOv2 .pth: {dino_pth}")
+    return missing
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--release-root", required=True,
@@ -155,6 +190,10 @@ def main(argv=None):
     from cppf2_tpu.config import CATEGORIES
 
     categories = args.categories or list(CATEGORIES)
+    missing = preflight(args.release_root, args.dino_pth)
+    if missing:
+        print(f"[preflight] {len(missing)} asset(s) missing: "
+              f"{', '.join(missing)} — porting whatever is present")
     os.makedirs(args.out, exist_ok=True)
     ported = port_branches(args.release_root, args.out, categories)
     if not ported:
