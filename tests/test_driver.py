@@ -17,6 +17,7 @@ class TestTrainDriver:
             max_epochs=1, steps_per_epoch=6, tuples_per_step=256, n_points=512,
         )
 
+    @pytest.mark.slow
     def test_shot_branch_trains_and_checkpoints(self, tmp_path):
         from cppf2_tpu.train.driver import train_category
 

@@ -171,6 +171,7 @@ class TestEvalDriver:
         out_pkls = os.listdir(tmp_path / "out")
         assert any(p.startswith("results_") for p in out_pkls)
 
+    @pytest.mark.slow
     def test_dress_rehearsal_multi_category(self, synthetic_real275_multi,
                                             tmp_path, capsys):
         """Production-scale rehearsal of the FULL driver (eval.py:54-412):
@@ -251,6 +252,7 @@ class TestEvalDriver:
         gt_t = res["gt_RTs"][0][:3, 3]
         assert np.linalg.norm(rt[:3, 3] - gt_t) < 0.25
 
+    @pytest.mark.slow
     def test_instance_with_visual_frontend_keeps_desc_on_device(
         self, synthetic_real275
     ):
@@ -308,6 +310,7 @@ class TestBatchedFramePath:
         ).astype(np.float32)
         return rgb, depth, res
 
+    @pytest.mark.slow
     def test_vmapped_group_rows_match_singletons(self, synthetic_real275):
         # batch=2 program == two batch=1 programs with the same keys: the
         # vmap axis must not couple instances
@@ -420,6 +423,7 @@ class TestBatchedFramePath:
         assert sorted(len(p.idxs) for p in pend) == [3, 8]
         assert sorted(i for p in pend for i in p.idxs) == list(range(11))
 
+    @pytest.mark.slow
     def test_dispatch_frame_visual_smoke(self, synthetic_real275):
         # tiny ViT through the fused in-graph frontend, batch 2
         import jax
@@ -492,6 +496,7 @@ class TestBatchedFramePath:
             np.testing.assert_allclose(np.asarray(g)[0], np.asarray(want_g),
                                        rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_vit_multi_signature_cap_falls_back(self, synthetic_real275,
                                                 monkeypatch):
         # past the multi-chunk compile budget, a novel pack signature must
@@ -525,6 +530,7 @@ class TestBatchedFramePath:
             rt, scales, loss = out[i]
             assert np.isfinite(rt).all() and np.isfinite(loss)
 
+    @pytest.mark.slow
     def test_vit_multi_budget_not_consumed_by_reuse(self, synthetic_real275,
                                                     monkeypatch):
         # reusing a CACHED multi-chunk signature must not count against

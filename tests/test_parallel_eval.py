@@ -123,6 +123,7 @@ class TestParallelEval:
                 rot[i] * max(float(snorm[i]), 1e-9), rt_serial[:3, :3], atol=1e-3
             )
 
+    @pytest.mark.slow
     def test_parallel_driver_matches_serial(self, mini_real275, tmp_path):
         from cppf2_tpu.config import PipelineConfig
         from cppf2_tpu.eval.driver import evaluate_real275
@@ -181,6 +182,7 @@ class TestSliceMesh:
             np.asarray(best), sphere[dense.argmax(-1)], rtol=1e-6
         )
 
+    @pytest.mark.slow
     def test_dcn_image_axis_matches_flat_mesh(self):
         """The same instance batch poses identically whether images shard
         over a flat 8-device mesh or the dcn axis of a (2, 4) slice mesh."""

@@ -106,6 +106,7 @@ class TestOraclePose:
         est_opt = estimate_pose_branch(*args, run_opt=True)
         assert float(est_opt.loss) <= float(est_noopt.loss) + 1e-4
 
+    @pytest.mark.slow
     def test_ensemble_prefers_oracle_branch(self, rng):
         cat = CATEGORIES["mug"]
         pc, pc_canon, R, T, s, bound = _make_scene(rng, cat)
@@ -375,6 +376,7 @@ class TestYawSweep:
 
 
 class TestRestarts:
+    @pytest.mark.slow
     def test_best_of_n_picks_min_loss(self, rng):
         from cppf2_tpu.infer.pipeline import (
             estimate_pose_branch,

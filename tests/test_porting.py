@@ -7,6 +7,8 @@ branches reproduce the torch forward outputs."""
 
 from itertools import combinations
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -183,6 +185,7 @@ class TestReleaseLayoutDressRehearsal:
             ck / "last.ckpt",
         )
 
+    @pytest.mark.slow
     def test_release_tree_to_pose(self, tmp_path, rng):
         import jax.numpy as jnp
 

@@ -51,6 +51,7 @@ def _tiny_batch(rng, b=2, n=64):
 
 
 class TestVisualE2E:
+    @pytest.mark.slow
     def test_loss_decreases_and_backbone_moves(self, rng):
         vit = DinoViT(TINY)
         branch = DinoBranch(tuple_size=3)
