@@ -238,7 +238,7 @@ def main():
     ap.add_argument("--num-pairs", type=int, default=20000)
     ap.add_argument("--restarts", type=int, default=1,
                     help="best-of-N eval restarts, picked by recon loss")
-    ap.add_argument("--out", default="benchmarks/synthetic")
+    ap.add_argument("--out", default="benchmarks/synthetic_latest")
     ap.add_argument("--save-ckpts", default=None,
                     help="save trained params under {dir}/shot/{category}")
     ap.add_argument("--seed", type=int, default=0)
