@@ -114,6 +114,15 @@ class PipelineConfig:
                                   # (all synthetic accuracy results use 48;
                                   # 64 costs ~1.3x preprocess for no measured
                                   # accuracy gain)
+    vote_levels: int = 4          # center-vote pyramid depth (ops/voting.py
+                                  # ::vote_center). The last two levels both
+                                  # sit at the res floor for REAL275-scale
+                                  # clouds; exposed so the 3-level variant
+                                  # can be paired-validated (each full-power
+                                  # fine level's histogram costs ~2.4 ms at
+                                  # 50k pairs — scripts/hist_dtype_bench.py)
+    vote_fine_samples: int = 12   # arc samples/pair at the full-power fine
+                                  # levels (coarse levels stay at 16)
     restarts: int = 1             # best-of-N ensemble restarts by recon loss
                                   # (inference-time scaling; 1 = reference path)
     scale_mode: Optional[str] = None  # canonical->metric rescale of predicted

@@ -159,6 +159,7 @@ def _pose_from_preds(
     # --- center vote
     cv = vote_center(
         points, point_valid, t.tr, tuple_idx[:, :2], pair_valid, cat.res,
+        levels=pipe.vote_levels, fine_samples=pipe.vote_fine_samples,
     )
     t_est = cv.center
 
@@ -172,17 +173,16 @@ def _pose_from_preds(
     kept_w = bv.pair_weight[ki]
     inv_w = jnp.where(kept_w > 0, 1.0 / jnp.maximum(kept_w, _EPS), 0.0)
 
-    # --- rotation votes: up axis then right axis (eval.py:277-293), via the
-    # closed-form cone-arc accumulator (exact limit of the 180-rot sweep)
-    def vote_axis(angles):
-        top, _ = sphere_vote_cone(
-            points, angles[ki], kept_pairs, inv_w, sphere_pts,
-            pipe.angle_tol_deg, topk=1,
-        )
-        return top[0]
-
-    pred_up = vote_axis(t.up_angle)
-    pred_right = vote_axis(t.right_angle)
+    # --- rotation votes: up and right axes (eval.py:277-293) in ONE fused
+    # cone-arc accumulation — both axes share the kept pairs, so the pair
+    # frames and geometry-vs-sphere matmuls are computed once
+    axis_angles = jnp.stack([t.up_angle[ki], t.right_angle[ki]])
+    top_dirs, _ = sphere_vote_cone(
+        points, axis_angles, kept_pairs, inv_w, sphere_pts,
+        pipe.angle_tol_deg, topk=1,
+    )
+    pred_up = top_dirs[0, 0]
+    pred_right = top_dirs[1, 0]
 
     # Gram-Schmidt right against up (eval.py:295-296)
     pred_right = pred_right - jnp.dot(pred_up, pred_right) * pred_up

@@ -270,7 +270,7 @@ def sphere_vote(
 
 def sphere_vote_cone(
     points: jax.Array,
-    angle_preds: jax.Array,   # (P,) predicted angle of pair direction vs the axis
+    angle_preds: jax.Array,   # (P,) or (A, P) predicted pair-vs-axis angles
     pair_idx: jax.Array,      # (P, 2)
     weights: jax.Array,       # (P,) per-pair weight (0 for invalid)
     sphere_pts: jax.Array,    # (S, 3)
@@ -293,14 +293,23 @@ def sphere_vote_cone(
     with a (P, S) elementwise map + one matmul — ~10x faster and *exact*
     where the reference is sampled.
 
-    Returns (top-k directions (k, 3), their scores).
+    `angle_preds` may carry a leading axes dimension (A, P): all axes share
+    the kept pairs, so the pair gathers, frames and the three (P, S)
+    geometry-vs-sphere matmuls are computed ONCE and only the cheap
+    angle-dependent arc map broadcasts over A — the pose pipeline votes its
+    up and right axes (eval.py:277-293) in one fused call.
+
+    Returns (top-k directions, scores): ((k, 3), (k,)) for 1-D input,
+    ((A, k, 3), (A, k)) for 2-D.
     """
     a = points[pair_idx[:, 0]]
     b = points[pair_idx[:, 1]]
     abu, ab_len, x0, y0 = _pair_frames(a, b)
     ok = (weights > 0) & (ab_len > _EPS)
 
-    tan = jnp.clip(jnp.tan(angle_preds), -1e4, 1e4)
+    batched = angle_preds.ndim == 2
+    ang = angle_preds if batched else angle_preds[None]   # (A, P)
+    tan = jnp.clip(jnp.tan(ang), -1e4, 1e4)
     abs_tan = jnp.abs(tan)
     sign = jnp.where(tan > 0, 1.0, -1.0).astype(points.dtype)
     inv_norm = 1.0 / jnp.sqrt(1.0 + tan * tan)        # == |cos a|
@@ -311,22 +320,24 @@ def sphere_vote_cone(
             preferred_element_type=jnp.float32,
         )
 
-    xs, ys, as_ = dots(x0), dots(y0), dots(abu)        # (P, S)
+    xs, ys, as_ = dots(x0), dots(y0), dots(abu)        # (P, S), axis-shared
     thresh = jnp.cos(2 * angle_tol_deg / 180.0 * jnp.pi)
-    r_amp = abs_tan[:, None] * jnp.sqrt(xs * xs + ys * ys)
-    rhs = thresh / jnp.maximum(inv_norm, _EPS)[:, None] - sign[:, None] * as_
+    r_amp = abs_tan[..., None] * jnp.sqrt(xs * xs + ys * ys)[None]  # (A, P, S)
+    rhs = (thresh / jnp.maximum(inv_norm, _EPS)[..., None]
+           - sign[..., None] * as_[None])
     ratio = rhs / jnp.maximum(r_amp, _EPS)
     frac = jnp.arccos(jnp.clip(ratio, -1.0, 1.0)) / jnp.pi
     # degenerate cone (tan ~ 0): candidate is the fixed direction sign*ab
-    frac = jnp.where(r_amp[: , :] < 1e-6, (rhs < 0).astype(points.dtype), frac)
+    frac = jnp.where(r_amp < 1e-6, (rhs < 0).astype(points.dtype), frac)
 
     w = jnp.where(ok, weights, 0.0).astype(jnp.float32)
-    counts = jax.lax.dot_general(
-        w[None, :], frac, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[0]
-    vals, idx = jax.lax.top_k(counts, topk)
-    return sphere_pts[idx], vals
+    counts = jnp.einsum("p,aps->as", w, frac.astype(jnp.float32),
+                        precision=jax.lax.Precision.DEFAULT)
+    vals, idx = jax.lax.top_k(counts, topk)            # (A, k)
+    dirs = sphere_pts[idx]                             # (A, k, 3)
+    if batched:
+        return dirs, vals
+    return dirs[0], vals[0]
 
 
 class BackvoteResult(NamedTuple):
