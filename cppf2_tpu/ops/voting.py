@@ -61,17 +61,20 @@ def _hist16_matmul(cand: jax.Array, ok: jax.Array, lo: jax.Array, cell: jax.Arra
     inside = jnp.all(ids3 >= 0, -1) & jnp.all(ids3 < g, -1) & ok
     ids3 = jnp.clip(ids3, 0, g - 1)
     ar16 = jnp.arange(g, dtype=jnp.int32)
-    # int8 one-hots: exact integer counts, half the HBM traffic of bf16 and
-    # the MXU's 2x int8 rate — the histogram matmuls are the pose graph's
-    # dominant cost at 50k pairs
-    x1h = (ids3[:, 0:1] == ar16[None, :]).astype(jnp.int8)
+    # bf16 one-hots, f32 accumulation: counts stay exact (0/1 factors, sums
+    # <= 2^24) — the histogram matmuls are the pose graph's dominant cost at
+    # 50k pairs. int8 would halve the one-hot HBM traffic, but int8
+    # contractions are EMULATED through this backend: the full histogram
+    # step measured bf16 2.40 ms / int8 2.54 ms / f32 3.03 ms at the 600k
+    # production fine-level volume (scripts/hist_dtype_bench.py, v5e).
+    x1h = (ids3[:, 0:1] == ar16[None, :]).astype(jnp.bfloat16)
     yz = ids3[:, 1] * g + ids3[:, 2]
     ar256 = jnp.arange(g * g, dtype=jnp.int32)
-    yz1h = (yz[:, None] == ar256[None, :]).astype(jnp.int8)
-    x1h = x1h * inside.astype(jnp.int8)[:, None]
+    yz1h = (yz[:, None] == ar256[None, :]).astype(jnp.bfloat16)
+    x1h = x1h * inside.astype(jnp.bfloat16)[:, None]
     counts = jax.lax.dot_general(
-        x1h, yz1h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    ).astype(jnp.float32)  # (16, 256)
+        x1h, yz1h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (16, 256)
     best = jnp.argmax(counts)
     bx = best // (g * g)
     by = (best % (g * g)) // g
