@@ -121,8 +121,15 @@ class PipelineConfig:
                                   # can be paired-validated (each full-power
                                   # fine level's histogram costs ~2.4 ms at
                                   # 50k pairs — scripts/hist_dtype_bench.py)
-    vote_fine_samples: int = 12   # arc samples/pair at the full-power fine
-                                  # levels (coarse levels stay at 16)
+    vote_fine_samples: int = 8    # arc samples/pair at the full-power fine
+                                  # levels (coarse levels stay at 16). 8 vs
+                                  # the round-2 default 12 is paired-equal on
+                                  # the same 50 camera frames (5°5cm 0.78 vs
+                                  # 0.72, medians within +0.3°/+0.05 cm —
+                                  # benchmarks/r5_votecfg_camera) and cuts
+                                  # the pose graph's dominant cost, the
+                                  # fine-level vote histograms, by a third
+                                  # (~2.4 ms/600k samples, hist_dtype_bench)
     restarts: int = 1             # best-of-N ensemble restarts by recon loss
                                   # (inference-time scaling; 1 = reference path)
     scale_mode: Optional[str] = None  # canonical->metric rescale of predicted
